@@ -1,0 +1,254 @@
+"""Fixed-shape 1D peak analysis (scipy.signal.find_peaks parity) in pure JAX.
+
+Replaces the reference's scipy dependency at ``core/profile.py:2545-2649``.
+The core (:func:`peak_analysis`) is a pure, jit- and vmap-friendly function
+over a 1D signal returning fixed-size (K,) arrays with a validity mask:
+
+* plateau-aware local maxima (scipy midpoint convention),
+* height filter, distance (separation) filter with scipy's priority order,
+* prominences with scipy's base conventions,
+* interpolated widths/ips at a relative height (used for FWXM edges).
+
+Everything is O(K·N) masked vector math — no data-dependent shapes — so a
+whole batch of profiles (e.g. every leaf-kiss window of a picket fence image)
+is analyzed in one fused XLA computation via ``vmap``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PeakResult(NamedTuple):
+    """Fixed-size peak analysis results. Invalid slots have ``valid=False``."""
+
+    positions: jnp.ndarray      # (K,) int32 peak indices (into the signal)
+    values: jnp.ndarray         # (K,) float32 peak heights
+    prominences: jnp.ndarray    # (K,) float32
+    left_bases: jnp.ndarray     # (K,) int32
+    right_bases: jnp.ndarray    # (K,) int32
+    widths: jnp.ndarray         # (K,) float32
+    width_heights: jnp.ndarray  # (K,) float32
+    left_ips: jnp.ndarray       # (K,) float32 interpolated left crossing
+    right_ips: jnp.ndarray      # (K,) float32
+    valid: jnp.ndarray          # (K,) bool
+    overflowed: jnp.ndarray     # () bool — more raw maxima existed than K slots
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+def _local_maxima(v: jnp.ndarray) -> jnp.ndarray:
+    """Boolean mask of plateau-aware local maxima (scipy midpoint rule)."""
+    n = v.shape[0]
+    idx = jnp.arange(n)
+    border = jnp.array(jnp.inf, v.dtype)  # sentinel that can never be "smaller"
+    # run segmentation: a "run" is a maximal stretch of equal values
+    change = jnp.concatenate([jnp.array([True]), v[1:] != v[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, idx, -1))
+    change_r = jnp.concatenate([v[:-1] != v[1:], jnp.array([True])])
+    run_end = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(change_r, idx, n))))
+    prev_val = jnp.where(run_start > 0, v[jnp.maximum(run_start - 1, 0)], border)
+    next_val = jnp.where(run_end < n - 1, v[jnp.minimum(run_end + 1, n - 1)], border)
+    is_peak_run = (prev_val < v) & (next_val < v)
+    mid = run_start + (run_end - run_start) // 2
+    return is_peak_run & (idx == mid)
+
+
+def _distance_filter(pos: jnp.ndarray, val: jnp.ndarray, valid: jnp.ndarray,
+                     distance: jnp.ndarray, K: int) -> jnp.ndarray:
+    """scipy _select_by_peak_distance: iterate peaks by descending height,
+    removing not-yet-removed neighbors closer than `distance`."""
+    # stable ascending argsort on height (invalid slots forced to -inf so they
+    # sort first and never remove anything), then iterate in reverse.
+    order = jnp.argsort(jnp.where(valid, val, -jnp.inf), stable=True)
+    slots = jnp.arange(K)
+
+    def body(k, keep):
+        j = order[K - 1 - k]
+        cond = valid[j] & keep[j]
+        within = (jnp.abs(pos - pos[j]) < distance) & (slots != j)
+        return jnp.where(cond & within, False, keep)
+
+    keep = jax.lax.fori_loop(0, K, body, jnp.ones(K, dtype=bool))
+    return valid & keep
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def peak_analysis(
+    v: jnp.ndarray,
+    K: int = 32,
+    rel_height: float | jnp.ndarray = 0.5,
+    height: float | jnp.ndarray = -jnp.inf,
+    distance: float | jnp.ndarray = 1.0,
+    min_width: float | jnp.ndarray = 0.0,
+    required_prominence: float | jnp.ndarray | None = None,
+) -> PeakResult:
+    v = v.astype(jnp.float32)
+    n = v.shape[0]
+    idx = jnp.arange(n)
+    inf = jnp.inf
+
+    is_peak = _local_maxima(v)
+    overflowed = jnp.sum(is_peak) > K
+    pos = jnp.nonzero(is_peak, size=K, fill_value=-1)[0].astype(jnp.int32)
+    valid = pos >= 0
+    safe_pos = jnp.maximum(pos, 0)
+    val = v[safe_pos]
+
+    # height filter
+    valid &= val >= height
+    # distance filter (scipy ceils the distance)
+    valid = _distance_filter(pos, val, valid, jnp.ceil(jnp.asarray(distance, jnp.float32)), K)
+
+    # prominences, vectorized over peaks: O(K*N)
+    def prom_one(p, pv):
+        higher_left = (v > pv) & (idx < p)
+        L = jnp.max(jnp.where(higher_left, idx, -1)) + 1
+        left_mask = (idx >= L) & (idx <= p)
+        left_vals = jnp.where(left_mask, v, inf)
+        left_min = jnp.min(left_vals)
+        # scipy keeps the base closest to the peak on the left side
+        left_base = jnp.max(jnp.where(left_vals == left_min, idx, -1))
+        higher_right = (v > pv) & (idx > p)
+        R = jnp.min(jnp.where(higher_right, idx, n)) - 1
+        right_mask = (idx <= R) & (idx >= p)
+        right_vals = jnp.where(right_mask, v, inf)
+        right_min = jnp.min(right_vals)
+        # ...and the base closest to the peak on the right side
+        right_base = jnp.min(jnp.where(right_vals == right_min, idx, n))
+        prom = pv - jnp.maximum(left_min, right_min)
+        return prom, left_base.astype(jnp.int32), right_base.astype(jnp.int32)
+
+    proms, left_bases, right_bases = jax.vmap(prom_one)(safe_pos, val)
+
+    if required_prominence is not None:
+        valid &= proms >= required_prominence
+
+    # widths at rel_height (scipy _peak_widths)
+    def width_one(p, pv, prom, lb, rb):
+        h = pv - prom * rel_height
+        # left crossing: largest j in [lb, p] with v[j] <= h, else lb
+        lmask = (idx >= lb) & (idx <= p) & (v <= h)
+        j = jnp.max(jnp.where(lmask, idx, lb))
+        jn = jnp.minimum(j + 1, n - 1)
+        interp = (h - v[j]) / jnp.where(v[jn] == v[j], 1.0, v[jn] - v[j])
+        left_ip = jnp.where(v[j] < h, j + interp, j.astype(jnp.float32))
+        # right crossing: smallest j in [p, rb] with v[j] <= h, else rb
+        rmask = (idx >= p) & (idx <= rb) & (v <= h)
+        j2 = jnp.min(jnp.where(rmask, idx, rb))
+        jp = jnp.maximum(j2 - 1, 0)
+        interp2 = (h - v[j2]) / jnp.where(v[jp] == v[j2], 1.0, v[jp] - v[j2])
+        right_ip = jnp.where(v[j2] < h, j2 - interp2, j2.astype(jnp.float32))
+        return right_ip - left_ip, h, left_ip, right_ip
+
+    widths, wheights, left_ips, right_ips = jax.vmap(width_one)(
+        safe_pos, val, proms, left_bases, right_bases
+    )
+    valid &= widths >= min_width
+
+    return PeakResult(
+        positions=pos, values=val, prominences=proms,
+        left_bases=left_bases, right_bases=right_bases,
+        widths=widths, width_heights=wheights,
+        left_ips=left_ips, right_ips=right_ips, valid=valid,
+        overflowed=overflowed,
+    )
+
+
+def select_top(result: PeakResult, max_number: int | None, sort_key: str = "prominences") -> PeakResult:
+    """Keep the `max_number` peaks with the largest `sort_key`, preserving
+    left-to-right order — mirrors the reference's max_number handling
+    (``core/profile.py:2618-2624``). Pure jax; shape stays (K,)."""
+    if max_number is None:
+        return result
+    key = getattr(result, sort_key)
+    K = key.shape[0]
+    masked = jnp.where(result.valid, key, -jnp.inf)
+    order = jnp.argsort(masked, stable=True)  # ascending
+    rank = jnp.empty(K, jnp.int32).at[order].set(jnp.arange(K, dtype=jnp.int32))
+    # rank K-1 is the largest; keep ranks >= K - max_number
+    keep = result.valid & (rank >= K - max_number)
+    return result._replace(valid=keep)
+
+
+# --------------------------------------------------------------------------
+# Host-facing wrapper with the reference's argument semantics
+# --------------------------------------------------------------------------
+def find_peaks(
+    values: np.ndarray,
+    threshold: float = -np.inf,
+    peak_separation: float = 0,
+    max_number: int | None = None,
+    fwxm_height: float = 0.5,
+    min_width: int = 0,
+    search_region: tuple[float, float] = (0.0, 1.0),
+    peak_sort: str = "prominences",
+    required_prominence: float | None = None,
+    K: int = 64,
+) -> tuple[np.ndarray, dict]:
+    """Reference-compatible peak finder (``core/profile.py:2545``): returns
+    (peak_indices, props_dict) as numpy with ratio/int argument coercion."""
+    values = np.asarray(values, dtype=np.float32)
+    n = len(values)
+    val_range = float(values.max() - values.min())
+    if 0 <= threshold <= 1:
+        threshold = float(values.min()) + threshold * val_range
+    if 0 <= peak_separation <= 1:
+        peak_separation = max(int(peak_separation * n), 1)
+    if max(search_region) <= 1:
+        lo = int(search_region[0] * n)
+        hi = int(search_region[1] * n)
+    else:
+        lo, hi = int(search_region[0]), int(search_region[1])
+    trimmed = values[lo:hi]
+
+    res = peak_analysis(
+        jnp.asarray(trimmed), K=K, rel_height=1 - fwxm_height,
+        height=threshold, distance=float(peak_separation), min_width=float(min_width),
+        required_prominence=required_prominence,
+    )
+    res = select_top(res, max_number, peak_sort)
+    res = jax.device_get(res)
+    mask = res.valid.astype(bool)
+    props = {
+        "prominences": res.prominences[mask].astype(float),
+        "left_bases": res.left_bases[mask] + lo,
+        "right_bases": res.right_bases[mask] + lo,
+        "widths": res.widths[mask].astype(float),
+        "width_heights": res.width_heights[mask].astype(float),
+        "left_ips": res.left_ips[mask].astype(float) + lo,
+        "right_ips": res.right_ips[mask].astype(float) + lo,
+        "peak_heights": res.values[mask].astype(float),
+    }
+    peak_idxs = res.positions[mask].astype(np.int64) + lo
+    return peak_idxs, props
+
+
+def find_valleys(values: np.ndarray, **kwargs) -> tuple[np.ndarray, dict]:
+    """Find valleys by inverting the signal (max+min-v, the reference's invert)."""
+    values = np.asarray(values, dtype=np.float32)
+    inverted = values.max() + values.min() - values
+    return find_peaks(inverted, **kwargs)
+
+
+def fwhm_center(v: jnp.ndarray, fwxm_height: float = 0.5, K: int = 8) -> jnp.ndarray:
+    """Center of the FWXM of the single largest peak — the inner step of the
+    reference's FWXM field-edge logic (``core/profile.py:598-608``). Jittable."""
+    res = peak_analysis(v, K=K, rel_height=1 - fwxm_height)
+    best = jnp.argmax(jnp.where(res.valid, res.prominences, -jnp.inf))
+    return (res.left_ips[best] + res.right_ips[best]) / 2.0
+
+
+def fwxm_edges(v: jnp.ndarray, fwxm_height: float = 0.5, K: int = 8) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(left_ip, right_ip) of the most prominent peak at the given FWXM height."""
+    res = peak_analysis(v, K=K, rel_height=1 - fwxm_height)
+    best = jnp.argmax(jnp.where(res.valid, res.prominences, -jnp.inf))
+    return res.left_ips[best], res.right_ips[best]
