@@ -1,0 +1,293 @@
+"""Connected-component labeling + fixed-K region properties in pure JAX.
+
+Replaces skimage.measure.label/regionprops + scipy binary_fill_holes used by
+the reference's feature finding (``metrics/utils.py:127-133``, ``ct.py:384``,
+``winston_lutz.py:764-788``).  TPU-native design notes:
+
+* **Labeling** is iterative min-propagation over the pixel neighborhood plus
+  pointer-jumping (label = label[label]) inside a ``lax.while_loop`` with a
+  convergence check — O(log) passes for realistic shapes, fixed upper bound.
+* **Region properties** come out as fixed-size (K,) arrays (area, bbox,
+  centroids, perimeter, moments, ...) with a validity mask, computed via
+  ``segment_sum`` over compacted label ids — fully jit/vmap-compatible.
+* **Hole filling** reuses the same labeling on the background: background
+  components that do not touch the image border are holes.
+* **Solidity** uses a D-direction support-function estimate of the convex
+  hull area (circumscribed polygon; error O(1/D²)) — exact convex hulls are
+  data-dependent and hostile to fixed shapes, and the reference only
+  thresholds solidity at 0.9 (``metrics/features.py:48``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _neighbor_shifts(connectivity: int) -> list[tuple[int, int]]:
+    cross = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    diag = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    return cross if connectivity == 1 else cross + diag
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Shift a 2D array, filling vacated cells with `fill`."""
+    out = jnp.roll(x, (dy, dx), axis=(0, 1))
+    if dy > 0:
+        out = out.at[:dy, :].set(fill)
+    elif dy < 0:
+        out = out.at[dy:, :].set(fill)
+    if dx > 0:
+        out = out.at[:, :dx].set(fill)
+    elif dx < 0:
+        out = out.at[:, dx:].set(fill)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iter"))
+def label(mask: jnp.ndarray, connectivity: int = 1, max_iter: int = 64) -> jnp.ndarray:
+    """Label connected components of a boolean mask.
+
+    Returns an int32 image where background = -1 and each component carries
+    the linear index of its root pixel (NOT sequential ids — use
+    :func:`regionprops` to compact them).  ``connectivity`` 1 = 4-conn
+    (skimage label connectivity=1), 2 = 8-conn.
+    """
+    h, w = mask.shape
+    n = h * w
+    sentinel = jnp.int32(n)
+    lin = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(mask, lin, sentinel)
+    shifts = _neighbor_shifts(connectivity)
+
+    def propagate(lab):
+        best = lab
+        for dy, dx in shifts:
+            best = jnp.minimum(best, _shift2d(lab, dy, dx, sentinel))
+        best = jnp.where(mask, best, sentinel)
+        # pointer jumping twice: lab[p] <- root estimate of root estimate
+        flat = jnp.append(best.ravel(), sentinel)  # sentinel maps to itself
+        flat = flat[flat]
+        flat = flat[flat]
+        return flat[:-1].reshape(h, w)
+
+    def cond(state):
+        i, lab, changed = state
+        return changed & (i < max_iter)
+
+    def body(state):
+        i, lab, _ = state
+        new = propagate(lab)
+        return i + 1, new, jnp.any(new != lab)
+
+    _, lab, _ = jax.lax.while_loop(cond, body, (0, lab, jnp.bool_(True)))
+    return jnp.where(mask, lab, -1)
+
+
+class Regions(NamedTuple):
+    """Fixed-size (K,) region properties; slots with ``valid=False`` are empty.
+
+    Coordinate convention matches skimage: centroid = (row, col)."""
+
+    valid: jnp.ndarray            # (K,) bool
+    area: jnp.ndarray             # (K,) float32 — pixel count (unfilled)
+    area_filled: jnp.ndarray      # (K,) float32 — holes filled
+    centroid_r: jnp.ndarray       # (K,) float32
+    centroid_c: jnp.ndarray
+    weighted_centroid_r: jnp.ndarray
+    weighted_centroid_c: jnp.ndarray
+    bbox_rmin: jnp.ndarray        # (K,) int32 — skimage half-open convention
+    bbox_cmin: jnp.ndarray
+    bbox_rmax: jnp.ndarray
+    bbox_cmax: jnp.ndarray
+    perimeter: jnp.ndarray        # (K,) float32 — skimage Freeman-weighted
+    touches_border: jnp.ndarray   # (K,) bool
+    convex_area: jnp.ndarray      # (K,) float32 — D-direction hull estimate
+    major_axis_length: jnp.ndarray
+    minor_axis_length: jnp.ndarray
+    eccentricity: jnp.ndarray
+    mean_intensity: jnp.ndarray
+    max_intensity: jnp.ndarray
+    min_intensity: jnp.ndarray
+    label_id: jnp.ndarray         # (K,) int32 root-pixel label
+
+    @property
+    def solidity(self) -> jnp.ndarray:
+        return self.area_filled / jnp.maximum(self.convex_area, 1.0)
+
+    @property
+    def bbox_area(self) -> jnp.ndarray:
+        return ((self.bbox_rmax - self.bbox_rmin) *
+                (self.bbox_cmax - self.bbox_cmin)).astype(jnp.float32)
+
+
+_PERIM_WEIGHTS = np.zeros(50, dtype=np.float32)
+_PERIM_WEIGHTS[[5, 7, 15, 17, 25, 27]] = 1.0
+_PERIM_WEIGHTS[[21, 33]] = math.sqrt(2.0)
+_PERIM_WEIGHTS[[13, 23]] = (1.0 + math.sqrt(2.0)) / 2.0
+
+
+def _perimeter_image(lab: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel Freeman perimeter contribution (skimage.measure.perimeter,
+    neighborhood=4), computed per-label so adjacent regions don't interact."""
+    mask = lab >= 0
+    same = []
+    for dy, dx in _neighbor_shifts(2):
+        neigh = _shift2d(lab, dy, dx, -2)
+        same.append((neigh == lab) & mask)
+    # border pixel: not all 4-cross neighbors belong to the same label
+    cross_all = same[0] & same[1] & same[2] & same[3]
+    border = mask & ~cross_all
+    # convolution value: center*1 + cross borders*2 + diag borders*10,
+    # counting only same-label border neighbors
+    val = border.astype(jnp.int32)
+    for i, (dy, dx) in enumerate(_neighbor_shifts(2)):
+        # neighbor q = p - (dy,dx); same[i][p] tests lab[p] == lab[q];
+        # contribution requires q to be a border pixel of the same label
+        nb_border = _shift2d(border, dy, dx, False) & same[i]
+        w_ = 2 if i < 4 else 10
+        val = val + w_ * nb_border.astype(jnp.int32)
+    weights = jnp.asarray(_PERIM_WEIGHTS)
+    return jnp.where(border, weights[jnp.clip(val, 0, 49)], 0.0)
+
+
+def fill_holes(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
+    """scipy.ndimage.binary_fill_holes equivalent: background components not
+    touching the border are holes."""
+    h, w = mask.shape
+    bg_lab = label(~mask, connectivity=1, max_iter=max_iter)
+    r = jnp.arange(h)[:, None]
+    c = jnp.arange(w)[None, :]
+    on_border = (r == 0) | (r == h - 1) | (c == 0) | (c == w - 1)
+    # collect labels of border-touching background components
+    border_labels = jnp.where(on_border & (bg_lab >= 0), bg_lab, -1)
+    # a bg pixel is "outside" iff its component label appears on the border;
+    # since component label = root linear index, test via scatter into a flag map
+    flags = jnp.zeros(h * w + 1, dtype=bool)
+    flags = flags.at[jnp.where(border_labels >= 0, border_labels, h * w)].set(True)
+    outside = (bg_lab >= 0) & flags[jnp.clip(bg_lab, 0, h * w)]
+    return mask | (~mask & ~outside)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "connectivity", "max_iter", "fill"))
+def regionprops(
+    mask: jnp.ndarray,
+    intensity: jnp.ndarray | None = None,
+    K: int = 32,
+    connectivity: int = 1,
+    max_iter: int = 64,
+    fill: bool = True,
+) -> Regions:
+    """Label a mask and compute fixed-K region properties in one pass.
+
+    When ``fill=True``, labeling runs on the hole-filled mask (so a hollow BB
+    ring is one region) and ``area`` still reports the unfilled pixel count —
+    matching the reference predicates' use of area vs area_filled.
+    """
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    base = fill_holes(mask, max_iter=max_iter) if fill else mask
+    lab = label(base, connectivity=connectivity, max_iter=max_iter)
+
+    flat_lab = lab.ravel()
+    present = jnp.where(base.ravel(), flat_lab, h * w)
+    ids = jnp.unique(present, size=K + 1, fill_value=h * w)  # ascending; sentinel last-ish
+    valid = ids < h * w
+    label_id = jnp.where(valid, ids, -1).astype(jnp.int32)
+
+    # map each pixel to a compact slot (K = trash slot for bg/fill)
+    slot = jnp.searchsorted(ids, flat_lab)
+    slot = jnp.where((flat_lab >= 0) & (slot < K + 1) & (jnp.take(ids, jnp.clip(slot, 0, K)) == flat_lab), slot, K + 1)
+    num = K + 2
+
+    r = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = jnp.arange(w, dtype=jnp.float32)[None, :]
+    rr = jnp.broadcast_to(r, (h, w)).ravel()
+    cc = jnp.broadcast_to(c, (h, w)).ravel()
+    ones = jnp.ones(h * w, jnp.float32)
+    seg = functools.partial(jax.ops.segment_sum, num_segments=num,
+                            indices_are_sorted=False)
+
+    area_filled = seg(ones, slot)[:K]
+    in_mask = mask.ravel().astype(jnp.float32)
+    area = seg(in_mask, slot)[:K]
+    sum_r = seg(rr * in_mask, slot)[:K]
+    sum_c = seg(cc * in_mask, slot)[:K]
+    centroid_r = sum_r / jnp.maximum(area, 1)
+    centroid_c = sum_c / jnp.maximum(area, 1)
+
+    if intensity is None:
+        intensity = mask.astype(jnp.float32)
+    ii = intensity.ravel().astype(jnp.float32) * in_mask
+    sum_i = seg(ii, slot)[:K]
+    wc_r = seg(rr * ii, slot)[:K] / jnp.maximum(sum_i, 1e-20)
+    wc_c = seg(cc * ii, slot)[:K] / jnp.maximum(sum_i, 1e-20)
+    mean_i = sum_i / jnp.maximum(area, 1)
+    max_i = jax.ops.segment_max(jnp.where(in_mask > 0, intensity.ravel(), -jnp.inf), slot, num_segments=num)[:K]
+    min_i = jax.ops.segment_min(jnp.where(in_mask > 0, intensity.ravel(), jnp.inf), slot, num_segments=num)[:K]
+
+    # bbox on the filled component (identical to unfilled bbox)
+    filled_f = base.ravel().astype(jnp.float32)
+    big = jnp.float32(h * w)
+    rmin = jax.ops.segment_min(jnp.where(filled_f > 0, rr, big), slot, num_segments=num)[:K]
+    cmin = jax.ops.segment_min(jnp.where(filled_f > 0, cc, big), slot, num_segments=num)[:K]
+    rmax = jax.ops.segment_max(jnp.where(filled_f > 0, rr, -1.0), slot, num_segments=num)[:K]
+    cmax = jax.ops.segment_max(jnp.where(filled_f > 0, cc, -1.0), slot, num_segments=num)[:K]
+
+    on_border = ((rr == 0) | (rr == h - 1) | (cc == 0) | (cc == w - 1)).astype(jnp.float32)
+    touches = seg(on_border * filled_f, slot)[:K] > 0
+
+    perim_img = _perimeter_image(lab).ravel()
+    perimeter = seg(perim_img, slot)[:K]
+
+    # central moments (unfilled pixels, like skimage inertia) for axes/ecc
+    mu20 = seg(rr * rr * in_mask, slot)[:K] / jnp.maximum(area, 1) - centroid_r**2
+    mu02 = seg(cc * cc * in_mask, slot)[:K] / jnp.maximum(area, 1) - centroid_c**2
+    mu11 = seg(rr * cc * in_mask, slot)[:K] / jnp.maximum(area, 1) - centroid_r * centroid_c
+    common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4 * mu11**2, 0.0))
+    l1 = (mu20 + mu02 + common) / 2
+    l2 = (mu20 + mu02 - common) / 2
+    major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
+    minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
+    ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-20), 0.0))
+
+    # convex hull pixel count via D-direction support functions: a pixel
+    # center is inside the hull iff its projection is ≤ the region's support
+    # in every direction.  D=32 circumscribes the true hull with O(1/D²)
+    # excess — well below the 0.9 solidity threshold's sensitivity.
+    D = 32
+    thetas = np.arange(D) * (2 * np.pi / D)
+    nx = jnp.asarray(np.cos(thetas), jnp.float32)
+    ny = jnp.asarray(np.sin(thetas), jnp.float32)
+    inside = jnp.ones((h * w, K), dtype=bool)
+    eps = 1e-3
+    for d in range(D):
+        proj = rr * ny[d] + cc * nx[d]  # (N,)
+        support = jax.ops.segment_max(
+            jnp.where(filled_f > 0, proj, -jnp.inf), slot, num_segments=num
+        )[:K]  # (K,)
+        inside &= proj[:, None] <= support[None, :] + eps
+    convex_area = jnp.maximum(jnp.sum(inside, axis=0).astype(jnp.float32), area_filled)
+
+    return Regions(
+        valid=valid[:K], area=area, area_filled=area_filled,
+        centroid_r=centroid_r, centroid_c=centroid_c,
+        weighted_centroid_r=wc_r, weighted_centroid_c=wc_c,
+        bbox_rmin=rmin.astype(jnp.int32), bbox_cmin=cmin.astype(jnp.int32),
+        bbox_rmax=(rmax + 1).astype(jnp.int32), bbox_cmax=(cmax + 1).astype(jnp.int32),
+        perimeter=perimeter, touches_border=touches,
+        convex_area=convex_area,
+        major_axis_length=major, minor_axis_length=minor, eccentricity=ecc,
+        mean_intensity=mean_i, max_intensity=max_i, min_intensity=min_i,
+        label_id=label_id,
+    )
+
+
+def clear_border(regions: Regions) -> Regions:
+    """Invalidate regions touching the image border (skimage clear_border)."""
+    return regions._replace(valid=regions.valid & ~regions.touches_border)
