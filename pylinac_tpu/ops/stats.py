@@ -1,0 +1,116 @@
+"""Physics metric kernels: contrast, visibility, NPS, MTF math (JAX).
+
+Parity targets: reference ``core/contrast.py``, ``core/nps.py``,
+``core/mtf.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# --- Contrast (core/contrast.py parity) ------------------------------------
+def michelson(array: jnp.ndarray) -> jnp.ndarray:
+    lmax = jnp.nanmax(array)
+    lmin = jnp.nanmin(array)
+    return (lmax - lmin) / (lmax + lmin)
+
+
+def weber(feature: jnp.ndarray, background: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(feature - background) / background
+
+
+def ratio(feature: jnp.ndarray, reference: jnp.ndarray) -> jnp.ndarray:
+    return feature / reference
+
+
+def difference(feature: jnp.ndarray, background: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(feature - background)
+
+
+def rms(array: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.mean((array - jnp.mean(array)) ** 2))
+
+
+def visibility(contrast_value: jnp.ndarray, radius: jnp.ndarray, std: jnp.ndarray) -> jnp.ndarray:
+    """Rose-model visibility: contrast * sqrt(area) / std (``core/contrast.py:18``)."""
+    return contrast_value * jnp.sqrt(radius**2 * jnp.pi) / std
+
+
+# --- Noise power spectrum (core/nps.py parity) ------------------------------
+def noise_power_spectrum_2d(rois: jnp.ndarray, pixel_size: float) -> jnp.ndarray:
+    """2D NPS from a stack of square ROIs (N, L, L) — ICRU 87 eq 11.1/11.2."""
+    rois = rois.astype(jnp.float32)
+    length = rois.shape[-1]
+    demeaned = rois - jnp.mean(rois, axis=(-2, -1), keepdims=True)
+    ffts = jnp.abs(jnp.fft.fft2(demeaned)) ** 2
+    shifted = jnp.fft.fftshift(ffts, axes=(-2, -1))
+    return pixel_size**2 / length**2 * jnp.mean(shifted, axis=0)
+
+
+def radial_average(arr: jnp.ndarray) -> jnp.ndarray:
+    """Radial average about the center pixel (``core/nps.py:12``)."""
+    h, w = arr.shape
+    cy, cx = jnp.floor(h / 2.0), jnp.floor(w / 2.0)
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    r = jnp.sqrt((x - cx) ** 2 + (y - cy) ** 2).astype(jnp.int32)
+    import math as _math
+
+    nbins = int(_math.ceil(_math.sqrt(h * h + w * w))) + 1
+    tbin = jax.ops.segment_sum(arr.ravel().astype(jnp.float32), r.ravel(), num_segments=nbins)
+    nr = jax.ops.segment_sum(jnp.ones(h * w, jnp.float32), r.ravel(), num_segments=nbins)
+    return jnp.where(nr > 0, tbin / jnp.maximum(nr, 1), 0.0)
+
+
+def noise_power_spectrum_1d(spectrum_2d: jnp.ndarray) -> jnp.ndarray:
+    return radial_average(spectrum_2d)
+
+
+def average_power(nps1d: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.linspace(0.0, 1.0, nps1d.shape[0])
+    return jnp.sum(x * nps1d) / jnp.sum(nps1d)
+
+
+def max_frequency(nps1d: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(nps1d) / nps1d.shape[0]
+
+
+# --- MTF helpers (core/mtf.py parity) ---------------------------------------
+def michelson_mtf(maxs: jnp.ndarray, mins: jnp.ndarray) -> jnp.ndarray:
+    """Per-region Michelson contrast, normalized to the first region
+    (reference ``core/mtf.py:85-110``)."""
+    raw = (maxs - mins) / (maxs + mins)
+    return raw / raw[0]
+
+
+def relative_resolution(spacings: jnp.ndarray, norm_mtfs: jnp.ndarray, x: float = 50.0) -> jnp.ndarray:
+    """lp/mm at which the rMTF drops to x% — inverse linear interpolation
+    (reference ``core/mtf.py:137``). ``spacings`` ascending, mtf descending."""
+    # interpolate x over mtf values (descending); emulate the reference's
+    # interp over reversed arrays
+    target = x / 100.0
+    m = norm_mtfs[::-1]
+    s = spacings[::-1]
+    res = jnp.interp(target, m, s)
+    # clamp like the reference warns: when the MTF never reaches the target,
+    # return the max spacing
+    return res
+
+
+def moments_mtf(lsf: jnp.ndarray, spacings: jnp.ndarray) -> jnp.ndarray:
+    """Placeholder for Hander-method moment MTF — implemented in the nuclear
+    module where the exact sampling context lives."""
+    raise NotImplementedError
+
+
+def esf_to_mtf(esf: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-spread function → LSF → normalized MTF (reference ``core/mtf.py:448``).
+
+    Returns (frequencies_cycles_per_sample, normalized_mtf)."""
+    lsf = jnp.gradient(esf.astype(jnp.float32))
+    mtf = jnp.abs(jnp.fft.rfft(lsf))
+    mtf = mtf / jnp.maximum(mtf[0], 1e-20)
+    freqs = jnp.fft.rfftfreq(lsf.shape[0])
+    return freqs, mtf
