@@ -402,8 +402,9 @@ class BaseImage:
         if isinstance(metrics, MetricBase):
             metrics = [metrics]
         for metric in metrics:
+            metric.inject_image(self)
             self.metrics.append(metric)
-            value = metric.context_calculate(self)
+            value = metric.context_calculate()
             key = metric.full_name
             suffix = 1
             while key in values or key in self.metric_values:
