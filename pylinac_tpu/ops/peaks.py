@@ -210,11 +210,17 @@ def find_peaks(
         lo, hi = int(search_region[0]), int(search_region[1])
     trimmed = values[lo:hi]
 
-    res = peak_analysis(
-        jnp.asarray(trimmed), K=K, rel_height=1 - fwxm_height,
-        height=threshold, distance=float(peak_separation), min_width=float(min_width),
-        required_prominence=required_prominence,
-    )
+    # adaptive K: escalate geometrically if the raw maxima overflow the slots
+    # (keeps the jit cache bounded to a few K buckets)
+    while True:
+        res = peak_analysis(
+            jnp.asarray(trimmed), K=K, rel_height=1 - fwxm_height,
+            height=threshold, distance=float(peak_separation), min_width=float(min_width),
+            required_prominence=required_prominence,
+        )
+        if not bool(res.overflowed) or K >= len(trimmed):
+            break
+        K = min(K * 4, max(len(trimmed), 1))
     res = select_top(res, max_number, peak_sort)
     res = jax.device_get(res)
     mask = res.valid.astype(bool)
