@@ -1,0 +1,379 @@
+"""Starshot wobble analysis.
+
+API parity with the reference (``/root/reference/pylinac/starshot.py``):
+``Starshot``, ``StarProfile``, ``LineManager``, ``Wobble``.  The wobble
+minimax solve runs as a jitted Nelder-Mead over vectorized point-to-line
+distances (:mod:`pylinac_tpu.ops.optimize`), replacing scipy
+(``starshot.py:378-402``).
+"""
+
+from __future__ import annotations
+
+import copy
+import io
+import math
+from itertools import product
+from pathlib import Path
+from typing import BinaryIO
+
+import numpy as np
+from pydantic import Field
+
+import jax.numpy as jnp
+
+from .core import image
+from .core.geometry import Circle, Line, Point
+from .core.io import TemporaryZipDirectory, get_url, retrieve_demo_file
+from .core.profile import CollapsedCircleProfile, FWXMProfile
+from .core.utilities import QuaacDatum, QuaacMixin, ResultBase, ResultsDataMixin
+from .core.warnings import capture_warnings
+from .ops.optimize import nelder_mead
+
+
+class StarshotResults(ResultBase):
+    """Typed results for :class:`Starshot` (reference ``starshot.py:47``)."""
+
+    tolerance_mm: float = Field(description="The tolerance used for the analysis in mm.")
+    circle_diameter_mm: float = Field(
+        description="The diameter of the minimum circle that touches all the star lines in mm.",
+        title="Diameter of fitted circle (mm)")
+    circle_radius_mm: float = Field(
+        description="The radius of the minimum circle that touches all the star lines in mm.",
+        title="Radius of fitted circle (mm)")
+    circle_center_x_y: tuple[float, float] = Field(
+        description="The center position of the minimum circle in pixels.",
+        title="Circle center pixel (X, Y)")
+    angles: list[float] = Field(
+        description="The angles of the radiation lines in degrees (±90 about vertical).",
+        title="Radiation line angles (degrees)")
+    passed: bool = Field(description="Whether the analysis passed or failed.")
+
+
+class Wobble(Circle):
+    """The minimum circle touching all radiation lines."""
+
+    def __init__(self, center_point=None, radius=None):
+        super().__init__(center_point=center_point or (0, 0), radius=radius or 0)
+        self.radius_mm = 0
+
+    @property
+    def diameter_mm(self) -> float:
+        return self.radius_mm * 2
+
+
+class LineManager:
+    """Pairs opposite spoke peaks into radiation lines (reference ``:701``)."""
+
+    def __init__(self, points: list[Point], focus_point: Point, dpmm: float):
+        self.lines: list[Line] = []
+        self.focus_point = focus_point
+        self.dpmm = dpmm
+        self.construct_rad_lines(points)
+
+    def __getitem__(self, item):
+        return self.lines[item]
+
+    def __len__(self):
+        return len(self.lines)
+
+    def construct_rad_lines(self, points: list[Point]) -> None:
+        self.match_points(points)
+        for line in self.lines:
+            if line.distance_to(self.focus_point) > 10 * self.dpmm:
+                raise ValueError(
+                    "The radiation lines are not near the center of the image. "
+                    "This could be due to missing spoke halves, such as in a gantry starshot.")
+
+    def match_points(self, points: list[Point]) -> None:
+        """Peak i pairs with peak i + N/2 (spokes cross the CAX)."""
+        num_rad_lines = int(len(points) / 2)
+        self.lines = [Line(points[i], points[i + num_rad_lines])
+                      for i in range(num_rad_lines)]
+
+    def plot(self, axis) -> None:
+        for line in self.lines:
+            line.plot2axes(axis, color="blue")
+
+
+class StarProfile(CollapsedCircleProfile):
+    """The thick-band circular profile that localizes the spokes (reference ``:770``)."""
+
+    def __init__(self, image, start_point, radius, min_peak_height, fwhm):
+        radius = self._convert_radius_perc2pix(image, start_point, radius)
+        super().__init__(center=start_point, radius=radius, image_array=image.array,
+                         width_ratio=0.1, sampling_ratio=3)
+        self.get_peaks(min_peak_height, fwhm=fwhm)
+
+    @staticmethod
+    def _convert_radius_perc2pix(image, start_point, radius):
+        return image.dist2edge_min(start_point) * radius
+
+    def _roll_prof_to_midvalley(self) -> int:
+        roll_amount = int(np.where(self.values == self.values.min())[0][0])
+        self.roll(roll_amount)
+        return roll_amount
+
+    def get_peaks(self, min_peak_height, min_peak_distance=0.02, fwhm=True) -> None:
+        self._roll_prof_to_midvalley()
+        self.filter(size=0.003, kind="gaussian")
+        self.ground()
+        if fwhm:
+            self.find_fwxm_peaks(threshold=min_peak_height, min_distance=min_peak_distance)
+        else:
+            self.find_peaks(min_peak_height, min_peak_distance)
+
+
+def calculate_angles(lines: list[Line]) -> list[float]:
+    """Spoke angles in degrees about vertical (reference ``:817``)."""
+    angles = []
+    for line in lines:
+        try:
+            phi_deg = math.degrees(math.atan(line.m)) - 90
+            if phi_deg > 90:
+                phi_deg -= 180
+            elif phi_deg <= -90:
+                phi_deg += 180
+        except ZeroDivisionError:
+            phi_deg = 90
+        angles.append(phi_deg)
+    return angles
+
+
+@capture_warnings
+class Starshot(ResultsDataMixin[StarshotResults], QuaacMixin):
+    """Determine the wobble of a starshot image (gantry/coll/couch/MLC)."""
+
+    def __init__(self, filepath: str | Path | BinaryIO, **kwargs):
+        super().__init__()
+        self.image = image.load(filepath, **kwargs)
+        self.wobble = Wobble()
+        self.tolerance = 1
+        if self.image.dpmm is None:
+            raise ValueError(
+                "DPI was not a tag in the image nor was it passed in. Please pass a DPI value")
+        if getattr(self.image, "sid", None) is None:
+            raise ValueError(
+                "Source-to-Image distance was not an image tag and was not passed in. "
+                "Please pass an SID value.")
+
+    @classmethod
+    def from_url(cls, url: str, **kwargs):
+        return cls(get_url(url), **kwargs)
+
+    @classmethod
+    def from_demo_image(cls):
+        demo_file = retrieve_demo_file(name="starshot.tif")
+        return cls(demo_file, sid=1000)
+
+    @classmethod
+    def from_multiple_images(cls, filepath_list: list, stretch_each: bool = True,
+                             method: str = "sum", **kwargs):
+        with io.BytesIO() as stream:
+            img = image.load_multiples(filepath_list, stretch_each=stretch_each,
+                                       method=method, **kwargs)
+            img.save(stream)
+            stream.seek(0)
+            return cls(stream, **kwargs)
+
+    @classmethod
+    def from_zip(cls, zip_file: str, **kwargs):
+        with TemporaryZipDirectory(zip_file) as tmpdir:
+            image_files = [f for f in Path(tmpdir).rglob("*") if f.is_file()]
+            if not image_files:
+                raise IndexError(f"No valid starshot images were found in {zip_file}")
+            if len(image_files) > 1:
+                return cls.from_multiple_images([str(f) for f in image_files], **kwargs)
+            return cls(str(image_files[0]), **kwargs)
+
+    @staticmethod
+    def run_demo():
+        star = Starshot.from_demo_image()
+        star.analyze()
+        print(star.results())
+        star.plot_analyzed_image()
+
+    def _get_reasonable_start_point(self) -> tuple[Point, float]:
+        """FW80M center of the central-third max-profiles (reference ``:197``)."""
+        top_third = int(self.image.array.shape[0] / 3)
+        bottom_third = int(top_third * 2)
+        left_third = int(self.image.array.shape[1] / 3)
+        right_third = int(left_third * 2)
+        central = self.image.array[top_third:bottom_third, left_third:right_third]
+        x_sum = np.max(central, 0)
+        y_sum = np.max(central, 1)
+        fwxm_x = round(FWXMProfile(values=x_sum, fwxm_height=80).center_idx) + left_third
+        fwxm_y = round(FWXMProfile(values=y_sum, fwxm_height=80).center_idx) + top_third
+        return Point(fwxm_x, fwxm_y), np.percentile(central, 90)
+
+    def analyze(self, radius: float = 0.85, min_peak_height: float = 0.25,
+                max_wobble_diameter: float = 2.0, tolerance: float = 1.0,
+                start_point: Point | tuple | None = None, fwhm: bool = True,
+                recursive: bool = True, invert: bool = False) -> None:
+        """Find the wobble circle diameter and center (reference ``:230``)."""
+        self.tolerance = tolerance
+        self.image.check_inversion_by_histogram(percentiles=[4, 50, 96])
+        self.image.ground()
+        if invert:
+            self.image.invert()
+
+        auto_point, local_max = self._get_reasonable_start_point()
+        if start_point is None:
+            start_point = auto_point
+        else:
+            start_point = Point(start_point)
+
+        self._get_reasonable_wobble(start_point, fwhm, min_peak_height, radius,
+                                    recursive, local_max, max_wobble_diameter)
+        self.angles = calculate_angles(self.lines)
+        self._is_analyzed = True
+
+    def _get_reasonable_wobble(self, start_point, fwhm, min_peak_height, radius,
+                               recursive, local_max, max_wobble_diameter) -> None:
+        """Retry ladder over (radius, peak-height) until the wobble is sane
+        (reference ``:306``)."""
+        wobble_reasonable = False
+        focus_point = copy.copy(start_point)
+        peak_candidates = np.append(min_peak_height, np.linspace(0.05, 0.95, 10))
+        radius_candidates = np.append(radius, np.linspace(0.95, 0.1, 10))
+        gen = product(radius_candidates, peak_candidates)
+
+        while not wobble_reasonable:
+            try:
+                min_height = min_peak_height * local_max
+                self.circle_profile = StarProfile(self.image, focus_point, radius,
+                                                  min_height, fwhm)
+                if (len(self.circle_profile.peaks) < 6) or (
+                        len(self.circle_profile.peaks) % 2 != 0):
+                    if not recursive:
+                        raise RuntimeError(
+                            "The algorithm was unable to properly detect the radiation "
+                            "lines. Try setting recursive to True or lower the minimum peak height")
+                    raise ValueError
+                self.lines = LineManager(self.circle_profile.peaks,
+                                         focus_point=focus_point, dpmm=self.image.dpmm)
+                self._find_wobble_minimize()
+                focus_near_center = (
+                    self.wobble.center.distance_to(focus_point) < 10 * self.image.dpmm)
+                if (self.wobble.diameter_mm < max_wobble_diameter and focus_near_center) \
+                        or not recursive:
+                    wobble_reasonable = True
+                else:
+                    raise ValueError
+            except ValueError:
+                try:
+                    radius, min_peak_height = next(gen)
+                except StopIteration:
+                    raise RuntimeError(
+                        "The algorithm was unable to determine a reasonable wobble. "
+                        "Try setting recursive to False and manually adjusting parameters")
+
+    def _find_wobble_minimize(self) -> None:
+        """Minimax the distance to all lines — jitted Nelder-Mead on device."""
+        sp = copy.copy(self.circle_profile.center)
+        # vectorized line geometry: points p1, direction unit vectors
+        p1 = np.array([[l.point1.x, l.point1.y] for l in self.lines], np.float32)
+        p2 = np.array([[l.point2.x, l.point2.y] for l in self.lines], np.float32)
+        d = p2 - p1
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        p1j = jnp.asarray(p1)
+        dj = jnp.asarray(d)
+
+        def max_distance(p):
+            w = p[None, :] - p1j
+            # 2D cross product magnitude = |w x d|
+            cross = jnp.abs(w[:, 0] * dj[:, 1] - w[:, 1] * dj[:, 0])
+            return jnp.max(cross)
+
+        x, fx = nelder_mead(max_distance, jnp.asarray([sp.x, sp.y], jnp.float32),
+                            fatol=0.001, xatol=1e-4, max_iter=400)
+        x = np.asarray(x)
+        self.wobble.radius = float(fx)
+        self.wobble.radius_mm = float(fx) / self.image.dpmm
+        self.wobble.center = Point(float(x[0]), float(x[1]))
+
+    @property
+    def passed(self) -> bool:
+        return bool(self.wobble.radius_mm * 2 < self.tolerance)
+
+    @property
+    def _passfail_str(self) -> str:
+        return "PASS" if self.passed else "FAIL"
+
+    def results(self, as_list: bool = False) -> str | list[str]:
+        results = [
+            "Starshot Analysis Results",
+            "-------------------------",
+            f"Number of radiation lines: {len(self.lines)}",
+            f"Minimum circle diameter: {self.wobble.diameter_mm:2.3f}mm",
+            f"Minimum circle center: ({self.wobble.center.x:3.1f}, {self.wobble.center.y:3.1f})",
+            f"Result: {self._passfail_str}",
+        ]
+        if not as_list:
+            return "\n".join(results)
+        return results
+
+    def _generate_results_data(self) -> StarshotResults:
+        return StarshotResults(
+            tolerance_mm=self.tolerance,
+            circle_diameter_mm=self.wobble.diameter_mm,
+            circle_radius_mm=self.wobble.radius_mm,
+            circle_center_x_y=(self.wobble.center.x, self.wobble.center.y),
+            angles=self.angles,
+            passed=self.passed,
+        )
+
+    def _quaac_datapoints(self) -> dict[str, QuaacDatum]:
+        return {
+            "Circle diameter": QuaacDatum(
+                value=self.wobble.diameter_mm, unit="mm",
+                description="Minimum circle diameter touching all radiation lines"),
+            "Circle center": QuaacDatum(
+                value=f"({self.wobble.center.x:.1f}, {self.wobble.center.y:.1f})",
+                unit="px"),
+        }
+
+    def plot_analyzed_image(self, show: bool = True, **plt_kwargs):
+        """Plot the image with lines and wobble circle."""
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, **plt_kwargs)
+        for ax, zoom in zip(axes, (False, True)):
+            ax.imshow(self.image.array, cmap="gray")
+            self.lines.plot(ax)
+            self.wobble.plot2axes(ax, edgecolor="green")
+            self.circle_profile.plot2axes(ax, edgecolor="green")
+            if zoom:
+                xlim = (self.wobble.center.x + self.wobble.diameter,
+                        self.wobble.center.x - self.wobble.diameter)
+                ylim = (self.wobble.center.y + self.wobble.diameter,
+                        self.wobble.center.y - self.wobble.diameter)
+                ax.set_xlim(xlim)
+                ax.set_ylim(ylim)
+        if show:
+            plt.show()
+        return fig, axes
+
+    def plot_analyzed_subimage(self, subimage: str = "wholeimage", ax=None,
+                               show: bool = True):  # pragma: no cover
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.imshow(self.image.array, cmap="gray")
+        self.lines.plot(ax)
+        self.wobble.plot2axes(ax, edgecolor="green")
+        if show:
+            plt.show()
+        return ax
+
+    def publish_pdf(self, filename: str, notes: str | list[str] | None = None,
+                    open_file: bool = False, metadata: dict | None = None,
+                    logo: str | None = None) -> None:
+        from .core import pdf
+
+        canvas = pdf.PylinacCanvas(filename, page_title="Starshot Analysis",
+                                   metadata=metadata, logo=logo)
+        canvas.add_text(text=self.results(as_list=True), location=(2, 25.5), font_size=11)
+        if notes is not None:
+            canvas.add_text(text=notes, location=(2, 4))
+        canvas.finish()
