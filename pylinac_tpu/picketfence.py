@@ -1,0 +1,820 @@
+"""Picket fence (MLC positional QA) analysis.
+
+API parity with the reference (``/root/reference/pylinac/picketfence.py``).
+TPU-native hot path: every leaf-kiss window profile is stacked into one
+``(N, W)`` batch and analyzed with a single vmapped FWXM peak kernel
+(:func:`pylinac_tpu.ops.peaks.peak_analysis`) instead of the reference's
+per-kiss Python loop of scipy calls (``picketfence.py:1605-1630``).
+"""
+
+from __future__ import annotations
+
+import enum
+import statistics
+import warnings
+from functools import cached_property
+from io import BytesIO
+from itertools import cycle, groupby
+from pathlib import Path
+from typing import BinaryIO, Sequence
+
+import numpy as np
+from pydantic import Field
+
+import jax
+import jax.numpy as jnp
+
+from .core import image
+from .core.geometry import Line, Point
+from .core.io import get_url, retrieve_demo_file
+from .core.profile import MultiProfile, Normalization, convert_to_enum
+from .core.utilities import QuaacDatum, QuaacMixin, ResultBase, ResultsDataMixin
+from .core.warnings import capture_warnings
+from .ops import peaks as jpk
+
+LEFT_MLC_PREFIX = "A"
+RIGHT_MLC_PREFIX = "B"
+
+
+class Orientation(enum.Enum):
+    """Picket orientations."""
+
+    UP_DOWN = "Up-Down"  #:
+    LEFT_RIGHT = "Left-Right"  #:
+
+
+class MLCArrangement:
+    """An MLC leaf arrangement: list of (num_leaves, width_mm) groups."""
+
+    def __init__(self, leaf_arrangement: list[tuple[int, float]], offset: float = 0):
+        self.centers: list[float] = []
+        self.widths: list[float] = []
+        rolling_edge = 0.0
+        for leaf_num, width in leaf_arrangement:
+            self.centers += np.arange(
+                start=rolling_edge + width / 2,
+                stop=leaf_num * width + rolling_edge + width / 2,
+                step=width).tolist()
+            rolling_edge = self.centers[-1] + width / 2
+            self.widths += [width] * leaf_num
+        mean_c = np.mean(self.centers)
+        self.centers = [c - mean_c + offset for c in self.centers]
+
+    @property
+    def leaves(self) -> list[int]:
+        return np.arange(1, len(self.centers) + 1, dtype=int)[::-1].tolist()
+
+
+class MLC(enum.Enum):
+    """Pre-built MLC models."""
+
+    MILLENNIUM = {"name": "Millennium", "arrangement": MLCArrangement([(10, 10), (40, 5), (10, 10)])}  #:
+    HD_MILLENNIUM = {"name": "HD Millennium", "arrangement": MLCArrangement([(14, 5), (32, 2.5), (14, 5)])}  #:
+    BMOD = {"name": "B Mod", "arrangement": MLCArrangement([(40, 4)])}  #:
+    AGILITY = {"name": "Agility", "arrangement": MLCArrangement([(80, 5)])}  #:
+    MLCI = {"name": "MLCi", "arrangement": MLCArrangement([(40, 10)])}  #:
+    HALCYON_DISTAL = {"name": "Halcyon distal", "arrangement": MLCArrangement([(28, 10)])}  #:
+    HALCYON_PROXIMAL = {"name": "Halcyon proximal", "arrangement": MLCArrangement([(29, 10)])}  #:
+
+
+class PFResult(ResultBase):
+    """Typed results for :class:`PicketFence` (reference ``picketfence.py:138``)."""
+
+    tolerance_mm: float = Field(description="Analysis tolerance (mm).")
+    action_tolerance_mm: float | None = Field(description="Action tolerance (mm).")
+    percent_leaves_passing: float = Field(description="Percent of leaves passing.", title="Leaves Passing (%)")
+    number_of_pickets: int = Field(description="Number of pickets found.", title="Number of Pickets")
+    absolute_median_error_mm: float = Field(description="Median absolute leaf error (mm).", title="Absolute Median Error (mm)")
+    max_error_mm: float = Field(description="Maximum leaf error (mm).", title="Maximum Error (mm)")
+    max_error_picket: int = Field(description="Picket index with the max error (0-based).")
+    max_error_leaf: str | int = Field(description="Leaf with the max error.")
+    mean_picket_spacing_mm: float = Field(description="Mean picket spacing (mm).", title="Mean Picket Spacing (mm)")
+    offsets_from_cax_mm: list[float] = Field(description="Picket offsets from CAX (mm).", title="Offsets from CAX (mm)")
+    passed: bool = Field(description="Whether all MLC positions were within tolerance.")
+    failed_leaves: list[str] | list[int] = Field(description="Failing leaf numbers.", title="Failing Leaves")
+    mlc_skew: float = Field(description="MLC stack skew (degrees).", title="MLC Skew (°)")
+    picket_widths: dict[str, dict[str, float]] = Field(description="Picket widths (mm).")
+    mlc_positions_by_leaf: dict[str, list[float]] = Field(description="Leaf positions from CAX (mm) keyed by leaf.")
+    mlc_errors_by_leaf: dict[str, list[float]] = Field(description="Leaf errors (mm) keyed by leaf.")
+    cax: dict = Field(description="CAX position (px).")
+
+
+class PFDicomImage(image.LinacDicomImage):
+    """PF image: crops edges, de-spikes noise, checks inversion (reference ``:204``)."""
+
+    def __init__(self, path, **kwargs):
+        crop_mm = kwargs.pop("crop_mm", 3)
+        self._central_axis = kwargs.pop("central_axis", None)
+        super().__init__(path, **kwargs)
+        crop_pixels = int(round(crop_mm * self.dpmm))
+        self.crop(pixels=crop_pixels)
+        self._check_for_noise()
+        self.check_inversion(box_size=10, position=(0.01, 0.01))
+
+    def _check_for_noise(self) -> None:
+        safety_stop = 5
+        while self._has_noise() and safety_stop > 0:
+            self.filter(size=3)
+            safety_stop -= 1
+
+    def _has_noise(self) -> bool:
+        vmin = self.array.min()
+        vmax = self.array.max()
+        near_min, near_max = np.percentile(self.array, [0.5, 99.5])
+        max_is_extreme = vmax > near_max * 1.25
+        min_is_extreme = (vmin < near_min * 0.75) and (
+            abs(vmin - near_min) > 0.1 * (near_max - near_min))
+        return max_is_extreme or min_is_extreme
+
+    def adjust_for_sag(self, sag: int, orientation) -> None:
+        orient = convert_to_enum(orientation, Orientation)
+        direction = "y" if orient == Orientation.UP_DOWN else "x"
+        self.roll(direction, sag)
+
+    @property
+    def center(self) -> Point:
+        if self._central_axis is not None:
+            cax_shift = Point(x=self._central_axis.x * self.dpmm,
+                              y=self._central_axis.y * self.dpmm)
+            cax = super().center + cax_shift
+            cax.y = 2 * (self.shape[0] // 2) - cax.y
+            return Point(cax.x, cax.y)
+        return super().center
+
+
+def _batched_fwxm(profiles: np.ndarray, fwxm_height: float) -> tuple[np.ndarray, np.ndarray]:
+    """(N, W) grounded/normalized kiss profiles → (left_ips, right_ips) of the
+    most prominent peak per profile — one fused device call."""
+    dev = jnp.asarray(profiles, jnp.float32)
+
+    def one(v):
+        res = jpk.peak_analysis(v, K=8, rel_height=1 - fwxm_height)
+        best = jnp.argmax(jnp.where(res.valid, res.prominences, -jnp.inf))
+        return res.left_ips[best], res.right_ips[best]
+
+    lefts, rights = jax.vmap(one)(dev)
+    return np.asarray(lefts, np.float64), np.asarray(rights, np.float64)
+
+
+class MLCValue:
+    """One MLC kiss (or leaf-pair tips) measurement (reference ``:1529``)."""
+
+    def __init__(self, picket_num, approx_idx, leaf_width, leaf_center,
+                 picket_spacing, orientation, leaf_analysis_width_ratio, tolerance,
+                 action_tolerance, leaf_num, approx_peak_val, image_window, image,
+                 fwxm, separate_leaves, nominal_gap_mm):
+        self._approximate_idx = approx_idx
+        self.picket_num = picket_num
+        self._approximate_peak_vale = approx_peak_val
+        self.leaf_width_px = leaf_width * image.dpmm
+        self._leaf_center = leaf_center
+        self.leaf_center_px = leaf_center * image.dpmm + (
+            image.shape[0] / 2 if orientation == Orientation.UP_DOWN else image.shape[1] / 2)
+        self.leaf_num = leaf_num
+        self._image_window = image_window
+        self._image = image
+        self._fwxm = fwxm
+        self._analysis_ratio = leaf_analysis_width_ratio
+        self._spacing = picket_spacing
+        self._orientation = orientation
+        self._tolerance = tolerance
+        self._action_tolerance = action_tolerance
+        self._separate_leaves = separate_leaves
+        self._nominal_gap_mm = nominal_gap_mm
+        self._fit = None
+        self.position: Sequence[float] = ()
+        self._field_width_px: float = 0.0
+
+    @property
+    def kiss_profile_values(self) -> np.ndarray:
+        """The grounded, max-normalized median profile across the window."""
+        if self._orientation == Orientation.UP_DOWN:
+            pix_vals = np.median(self._image_window, axis=0)
+        else:
+            pix_vals = np.median(self._image_window, axis=1)
+        pix_vals = pix_vals - pix_vals.min()
+        vmax = pix_vals.max()
+        return pix_vals / vmax if vmax > 0 else pix_vals
+
+    def set_positions(self, left_ip: float, right_ip: float) -> None:
+        """Install the batched FWXM results (ips relative to the window)."""
+        offset = max(self._approximate_idx - self._spacing / 2, 0)
+        self._field_width_px = right_ip - left_ip
+        if self._separate_leaves:
+            self.position = (left_ip + offset, right_ip + offset)
+        else:
+            self.position = ((left_ip + right_ip) / 2 + offset,)
+
+    @property
+    def field_width_mm(self) -> float:
+        return self._field_width_px / self._image.dpmm
+
+    def __repr__(self) -> str:
+        return f"Leaf: {self.leaf_num}, Picket: {self.picket_num}"
+
+    @property
+    def full_leaf_nums(self) -> Sequence[str | int]:
+        if not self._separate_leaves:
+            return [self.leaf_num]
+        return [f"{LEFT_MLC_PREFIX}{self.leaf_num}", f"{RIGHT_MLC_PREFIX}{self.leaf_num}"]
+
+    @property
+    def position_mm(self) -> Sequence[float]:
+        return [pos / self._image.dpmm for pos in self.position]
+
+    @property
+    def passed(self) -> Sequence[bool]:
+        return [abs(error) < self._tolerance for error in self.error]
+
+    @property
+    def passed_action(self) -> Sequence[bool] | None:
+        return ([abs(error) < self._action_tolerance for error in self.error]
+                if self._action_tolerance is not None else [True, True])
+
+    @property
+    def bg_color(self) -> Sequence[str]:
+        colors = []
+        for idx, passed in enumerate(self.passed):
+            if not passed:
+                colors.append("red")
+            elif self._action_tolerance is not None:
+                colors.append("blue" if self.passed_action[idx] else "magenta")
+            else:
+                colors.append("blue")
+        return colors
+
+    @property
+    def picket_positions(self) -> Sequence[float]:
+        picket_pos = []
+        for line, sign in zip(self.marker_lines, (-1, 1)):
+            if self._orientation == Orientation.UP_DOWN:
+                picket = self._fit(line.center.y)
+            else:
+                picket = self._fit(line.center.x)
+            if self._separate_leaves:
+                mag_factor = self._image.sid / 1000
+                picket += sign * self._nominal_gap_mm * mag_factor / 2 * self._image.dpmm
+            picket_pos.append(picket / self._image.dpmm)
+        return picket_pos
+
+    @property
+    def error(self) -> Sequence[float]:
+        errors = []
+        for line, sign in zip(self.marker_lines, (-1, 1)):
+            if self._orientation == Orientation.UP_DOWN:
+                picket_pos = self._fit(line.center.y)
+                mlc_pos = line.center.x
+            else:
+                picket_pos = self._fit(line.center.x)
+                mlc_pos = line.center.y
+            if self._separate_leaves:
+                picket_pos += sign * self._nominal_gap_mm / 2 * self._image.dpmm
+            errors.append((mlc_pos - picket_pos) / self._image.dpmm)
+        return errors
+
+    @property
+    def max_abs_error(self) -> float:
+        return float(np.max(np.abs(self.error)))
+
+    @property
+    def marker_lines(self) -> list[Line]:
+        upper = self.leaf_center_px - self.leaf_width_px / 2 * self._analysis_ratio
+        lower = self.leaf_center_px + self.leaf_width_px / 2 * self._analysis_ratio
+        lines = []
+        for mlc_position in self.position:
+            if self._orientation == Orientation.UP_DOWN:
+                lines.append(Line((mlc_position, upper), (mlc_position, lower)))
+            else:
+                lines.append(Line((upper, mlc_position), (lower, mlc_position)))
+        return lines
+
+    def plot2axes(self, axes, width: float = 1) -> None:
+        for idx, line in enumerate(self.marker_lines):
+            line.plot2axes(axes, width, color=self.bg_color[idx])
+
+    def plot_detailed_profile(self):
+        import matplotlib.pyplot as plt
+
+        pix_vals = self.kiss_profile_values
+        offset = max(self._approximate_idx - self._spacing / 2, 0)
+        x_values = np.arange(len(pix_vals)) + offset
+        fig, ax = plt.subplots()
+        ax.plot(x_values, pix_vals)
+        for picket_pos in self.picket_positions:
+            ax.axvline(x=picket_pos * self._image.dpmm, color="black",
+                       label="Fitted picket location")
+        for pos, color in zip(self.position, self.bg_color):
+            ax.axvline(pos, color=color, label="Measured MLC position")
+        return ax
+
+
+class Picket:
+    """One picket: a line fit through its MLC measurements (reference ``:1857``)."""
+
+    def __init__(self, mlc_measurements: list[MLCValue], log_fits, orientation,
+                 image, tolerance, separate_leaves, nominal_gap):
+        self.mlc_meas = mlc_measurements
+        self.log_fits = log_fits
+        self.tolerance = tolerance
+        self.orientation = orientation
+        self.image = image
+        self._separate_leaves = separate_leaves
+        self._nominal_gap = nominal_gap
+        self.fit = self.get_fit()
+        for m in self.mlc_meas:
+            m._fit = self.fit
+
+    def get_fit(self) -> np.poly1d:
+        if self.log_fits is not None:
+            return next(self.log_fits)
+        x = [line.point1.y for m in self.mlc_meas for line in m.marker_lines]
+        y = [line.point1.x for m in self.mlc_meas for line in m.marker_lines]
+        if self.orientation == Orientation.UP_DOWN:
+            fit = np.polyfit(x, y, 1)
+        else:
+            fit = np.polyfit(y, x, 1)
+        return np.poly1d(fit)
+
+    def skew(self) -> float:
+        return float(np.rad2deg(self.fit.coefficients[0]))
+
+    @property
+    def dist2cax(self) -> float:
+        length = self.image.shape[0] if self.orientation == Orientation.UP_DOWN else self.image.shape[1]
+        x_data = np.arange(length)
+        y_data = self.fit(x_data)
+        idx = int(round(len(x_data) / 2))
+        if self.orientation == Orientation.UP_DOWN:
+            axis = "x"
+            p1 = Point(y_data[idx], x_data[idx])
+        else:
+            axis = "y"
+            p1 = Point(x_data[idx], y_data[idx])
+        return (getattr(self.image.center, axis) - getattr(p1, axis)) / self.image.dpmm
+
+    @property
+    def left_guard_separated(self) -> Sequence[np.poly1d]:
+        l_fit = np.copy(self.fit.coefficients)
+        l_fit[-1] += self.tolerance * self.image.dpmm
+        if not self._separate_leaves:
+            return [np.poly1d(l_fit)]
+        other = np.copy(l_fit)
+        l_fit[-1] += self._nominal_gap / 2 * self.image.dpmm
+        other[-1] -= self._nominal_gap / 2 * self.image.dpmm
+        return [np.poly1d(l_fit), np.poly1d(other)]
+
+    @property
+    def right_guard_separated(self) -> Sequence[np.poly1d]:
+        r_fit = np.copy(self.fit.coefficients)
+        r_fit[-1] -= self.tolerance * self.image.dpmm
+        if not self._separate_leaves:
+            return [np.poly1d(r_fit)]
+        other = np.copy(r_fit)
+        r_fit[-1] -= self._nominal_gap / 2 * self.image.dpmm
+        other[-1] += self._nominal_gap / 2 * self.image.dpmm
+        return [np.poly1d(r_fit), np.poly1d(other)]
+
+    def add_guards_to_axes(self, axis, idx: int, color: str = "g",
+                           show_text: bool = False) -> None:
+        length = self.image.shape[0] if self.orientation == Orientation.UP_DOWN else self.image.shape[1]
+        x_data = np.arange(length)
+        for left, right in zip(self.left_guard_separated, self.right_guard_separated):
+            if self.orientation == Orientation.UP_DOWN:
+                axis.plot(left(x_data), x_data, color=color)
+                axis.plot(right(x_data), x_data, color=color)
+            else:
+                axis.plot(x_data, left(x_data), color=color)
+                axis.plot(x_data, right(x_data), color=color)
+
+
+@capture_warnings
+class PicketFence(ResultsDataMixin[PFResult], QuaacMixin):
+    """MLC picket fence analysis (reference ``picketfence.py:264``)."""
+
+    def __init__(self, filename, filter: int | None = None, log: str | None = None,
+                 use_filename: bool = False,
+                 mlc: MLC | MLCArrangement | str = MLC.MILLENNIUM,
+                 crop_mm: int = 3, image_kwargs: dict | None = None):
+        super().__init__()
+        if filename is not None:
+            img_kwargs = image_kwargs or {}
+            self.image = PFDicomImage(filename, use_filenames=use_filename,
+                                      crop_mm=crop_mm, **img_kwargs)
+            if isinstance(filter, int):
+                self.image.filter(size=filter)
+            self.image.ground()
+            self.image.normalize()
+        if log is not None:
+            self._load_log(log)
+        else:
+            self._log_fits = None
+        self._is_analyzed = False
+        self.mlc = self._get_mlc_arrangement(mlc)
+
+    @staticmethod
+    def _get_mlc_arrangement(value) -> MLCArrangement:
+        if isinstance(value, MLC):
+            return value.value["arrangement"]
+        if isinstance(value, MLCArrangement):
+            return value
+        if isinstance(value, str):
+            return [member.value["arrangement"] for _name, member in MLC.__members__.items()
+                    if member.value["name"] == value][0]
+        raise ValueError(f"Invalid MLC arrangement {value}")
+
+    @classmethod
+    def from_url(cls, url: str, filter: int = None, image_kwargs: dict | None = None):
+        return cls(get_url(url), filter=filter, image_kwargs=image_kwargs)
+
+    @classmethod
+    def from_demo_image(cls, filter: int = None):
+        demo_file = retrieve_demo_file(name="AS1200.dcm")
+        return cls(demo_file, filter=filter)
+
+    @classmethod
+    def from_multiple_images(cls, path_list: list, stretch_each: bool = True,
+                             method: str = "mean", mlc=MLC.MILLENNIUM, **kwargs):
+        obj = cls(None, mlc=mlc)
+        with BytesIO() as stream:
+            img = image.load_multiples(path_list, method=method,
+                                       stretch_each=stretch_each,
+                                       loader=PFDicomImage, **kwargs)
+            img.save(stream)
+            stream.seek(0)
+            obj.image = PFDicomImage(stream, **kwargs)
+        obj.image.ground()
+        obj.image.normalize()
+        return obj
+
+    def _load_log(self, log: str) -> None:
+        from .log_analyzer import load_log
+
+        mlog = load_log(log)
+        fl = mlog.fluence.expected.calc_map(equal_aspect=True)
+        fli = image.load(fl, dpi=254)
+        fluence_img, img_array = image.equate_images(fli, self.image)
+        self.image.array = img_array.array
+        pf = PicketFence(None)
+        pf.image = fluence_img
+        pf.mlc = self.mlc
+        pf._log_fits = None
+        pf._is_analyzed = False
+        pf.analyze()
+        self._log_fits = cycle([p.get_fit() for p in pf.pickets])
+
+    @staticmethod
+    def run_demo(tolerance: float = 0.5, action_tolerance: float = None) -> None:
+        pf = PicketFence.from_demo_image()
+        pf.analyze(tolerance, action_tolerance=action_tolerance)
+        print(pf.results())
+        pf.plot_analyzed_image(leaf_error_subplot=True)
+
+    # -- result properties --------------------------------------------------
+    @property
+    def passed(self) -> bool:
+        return all(all(m.passed) for m in self.mlc_meas)
+
+    @property
+    def percent_passing(self) -> float:
+        statuses = [p for m in self.mlc_meas for p in m.passed]
+        return float(100 * sum(statuses) / len(statuses))
+
+    @property
+    def max_error(self) -> float:
+        return float(np.max(np.abs(self._flattened_errors())))
+
+    @property
+    def max_error_picket(self) -> int:
+        return max(self.mlc_meas, key=lambda m: np.max(np.abs(m.error))).picket_num
+
+    def picket_width_stat(self, picket: int, metric: str = "max") -> float:
+        widths = [m.field_width_mm for m in self.mlc_meas if m.picket_num == picket]
+        if metric == "max":
+            return max(widths)
+        elif metric == "median":
+            return statistics.median(widths)
+        elif metric == "mean":
+            return statistics.mean(widths)
+        elif metric == "min":
+            return min(widths)
+        raise ValueError(f"Unknown metric {metric}")
+
+    @property
+    def max_error_leaf(self) -> int | str:
+        max_meas = max(self.mlc_meas, key=lambda m: np.max(np.abs(m.error)))
+        if not self.separate_leaves:
+            return max_meas.full_leaf_nums[0]
+        if abs(max_meas.error[0]) > abs(max_meas.error[1]):
+            return max_meas.full_leaf_nums[0]
+        return max_meas.full_leaf_nums[1]
+
+    def _flattened_errors(self) -> list[float]:
+        return [e for m in self.mlc_meas for e in m.error]
+
+    def failed_leaves(self) -> list[int] | list[str]:
+        if not self._is_analyzed:
+            raise ValueError("The PF image has not been analyzed. Use .analyze() first.")
+        failing = [m for m in self.mlc_meas if not all(m.passed)]
+        if not self.separate_leaves:
+            return list({m.leaf_num for m in failing})
+        out = []
+        for m in failing:
+            for idx, passed in enumerate(m.passed):
+                if not passed:
+                    out.append(m.full_leaf_nums[idx])
+        return list(dict.fromkeys(out))
+
+    @property
+    def abs_median_error(self) -> float:
+        return float(np.median(np.abs(self._flattened_errors())))
+
+    @property
+    def num_pickets(self) -> int:
+        return len(self.pickets)
+
+    @property
+    def mean_picket_spacing(self) -> float:
+        sorted_pickets = sorted(self.pickets, key=lambda x: x.dist2cax)
+        return float(np.mean([
+            abs(sorted_pickets[i].dist2cax - sorted_pickets[i + 1].dist2cax)
+            for i in range(len(sorted_pickets) - 1)]))
+
+    def mlc_skew(self) -> float:
+        return float(np.mean([p.skew() for p in self.pickets]))
+
+    @cached_property
+    def orientation(self) -> Orientation:
+        """Auto-detect orientation from percentile ranges of row/col sums
+        (reference ``:1502``)."""
+        if self._orientation is not None:
+            return convert_to_enum(self._orientation, Orientation)
+        temp = self.image.array.copy()
+        med = np.median(temp)
+        temp[temp < med] = med
+        row_sum = np.sum(temp, 0)
+        col_sum = np.sum(temp, 1)
+        row80, row90 = np.percentile(row_sum, [85, 99])
+        col80, col90 = np.percentile(col_sum, [85, 99])
+        if (row90 - row80) < (col90 - col80):
+            return Orientation.LEFT_RIGHT
+        return Orientation.UP_DOWN
+
+    # -- core analysis ------------------------------------------------------
+    def analyze(self, tolerance: float = 0.5, action_tolerance: float | None = None,
+                num_pickets: int | None = None, sag_adjustment: float = 0,
+                orientation: Orientation | str | None = None, invert: bool = False,
+                leaf_analysis_width_ratio: float = 0.4,
+                picket_spacing: float | None = None, height_threshold: float = 0.5,
+                edge_threshold: float = 1.5, peak_sort: str = "peak_heights",
+                required_prominence: float = 0.2, fwxm: int = 50,
+                separate_leaves: bool = False, nominal_gap_mm: float = 3,
+                central_axis: Point | None = None) -> None:
+        """Analyze the PF image (same parameter semantics as the reference,
+        ``picketfence.py:636``)."""
+        if action_tolerance is not None and tolerance < action_tolerance:
+            raise ValueError("Tolerance cannot be lower than the action tolerance")
+        self.tolerance = tolerance
+        self.action_tolerance = action_tolerance
+        self.leaf_analysis_width = leaf_analysis_width_ratio
+        self.separate_leaves = separate_leaves
+        if central_axis:
+            self.image._central_axis = central_axis
+        if invert:
+            self.image.invert()
+        self._orientation = orientation
+        if sag_adjustment != 0:
+            sag_pixels = int(round(sag_adjustment * self.image.dpmm))
+            self.image.adjust_for_sag(sag_pixels, self.orientation)
+
+        if self.orientation == Orientation.UP_DOWN:
+            leaf_prof = np.mean(self.image, 0)
+        else:
+            leaf_prof = np.mean(self.image, 1)
+        leaf_prof = MultiProfile(leaf_prof)
+        leaf_prof.normalize()
+        peak_idxs, peak_vals = leaf_prof.find_fwxm_peaks(
+            min_distance=0.02, threshold=height_threshold, max_number=num_pickets,
+            peak_sort=peak_sort, required_prominence=required_prominence)
+        if len(peak_idxs) == 0:
+            raise ValueError(
+                "No pickets were found. This can mean either an incorrect orientation "
+                "or incorrect inversion. Try passing the correct orientation; if that "
+                "fails, also set invert=True.")
+        if picket_spacing is None:
+            picket_spacing = np.median(np.diff(np.sort(peak_idxs)))
+
+        self.mlc_meas = []
+        for leaf_num, center, width in self._leaves_in_view(leaf_analysis_width_ratio):
+            for picket_num, (picket_idx, picket_peak_val) in enumerate(zip(peak_idxs, peak_vals)):
+                window = self._get_mlc_window(leaf_center=center, leaf_width=width,
+                                              approx_idx=picket_idx, spacing=picket_spacing)
+                if self._is_mlc_peak_in_window(window, height_threshold,
+                                               edge_threshold, picket_peak_val):
+                    self.mlc_meas.append(MLCValue(
+                        picket_num=picket_num, approx_idx=picket_idx, leaf_width=width,
+                        leaf_center=center, picket_spacing=picket_spacing,
+                        orientation=self.orientation,
+                        leaf_analysis_width_ratio=leaf_analysis_width_ratio,
+                        tolerance=tolerance, action_tolerance=action_tolerance,
+                        leaf_num=leaf_num, approx_peak_val=picket_peak_val,
+                        image_window=window, image=self.image, fwxm=fwxm,
+                        separate_leaves=separate_leaves, nominal_gap_mm=nominal_gap_mm))
+        if not self.mlc_meas:
+            raise ValueError(
+                "No MLC measurements were found. This may be due to an incorrect "
+                "inversion (try invert=True) or an incorrect orientation.")
+
+        # --- batched FWXM of every kiss window: one fused device call ------
+        profiles = [m.kiss_profile_values for m in self.mlc_meas]
+        max_w = max(len(p) for p in profiles)
+        batch = np.zeros((len(profiles), max_w), dtype=np.float32)
+        for i, p in enumerate(profiles):
+            batch[i, :len(p)] = p
+        lefts, rights = _batched_fwxm(batch, fwxm / 100)
+        for m, left, right in zip(self.mlc_meas, lefts, rights):
+            m.set_positions(left, right)
+
+        # drop leaf rows that don't have the median number of kisses
+        counts: dict = {}
+        for m in self.mlc_meas:
+            counts.setdefault(m.leaf_num, []).append(m)
+        median_num = statistics.median(len(v) for v in counts.values())
+        full_leaves = {leaf for leaf, v in counts.items() if len(v) == median_num}
+        if any(m.leaf_num not in full_leaves for m in self.mlc_meas):
+            warnings.warn(
+                "Some leaves were removed from analysis because they were not detected "
+                "for all pickets. If valid leaves are missing try adjusting "
+                "height_threshold or edge_threshold")
+        self.mlc_meas = [m for m in self.mlc_meas if m.leaf_num in full_leaves]
+
+        self.pickets = []
+        for picket_num, _ in enumerate(peak_idxs):
+            self.pickets.append(Picket(
+                [m for m in self.mlc_meas if m.picket_num == picket_num],
+                log_fits=self._log_fits, orientation=self.orientation,
+                image=self.image, tolerance=tolerance, nominal_gap=nominal_gap_mm,
+                separate_leaves=separate_leaves))
+        self._is_analyzed = True
+
+    def _is_mlc_peak_in_window(self, window, height_threshold, edge_threshold,
+                               picket_peak_val) -> bool:
+        if self.orientation == Orientation.UP_DOWN:
+            std = np.std(window, axis=1)
+        else:
+            std = np.std(window, axis=0)
+        is_above = np.max(window) > height_threshold * picket_peak_val
+        is_not_at_edge = max(std) < edge_threshold * np.median(std)
+        return is_above and is_not_at_edge
+
+    def _get_mlc_window(self, leaf_center, leaf_width, approx_idx, spacing) -> np.ndarray:
+        leaf_width_px = leaf_width * self.image.dpmm
+        leaf_center_px = leaf_center * self.image.dpmm + (
+            self.image.shape[0] / 2 if self.orientation == Orientation.UP_DOWN
+            else self.image.shape[1] / 2)
+        if self.orientation == Orientation.UP_DOWN:
+            left_edge = max(int(approx_idx - spacing / 2), 0)
+            right_edge = min(int(approx_idx + spacing / 2), self.image.shape[1])
+            top_edge = max(int(leaf_center_px - leaf_width_px / 2), 0)
+            bottom_edge = min(int(leaf_center_px + leaf_width_px / 2), self.image.shape[0])
+            return self.image[top_edge:bottom_edge, left_edge:right_edge]
+        top_edge = max(int(approx_idx - spacing / 2), 0)
+        bottom_edge = min(int(approx_idx + spacing / 2), self.image.shape[0])
+        left_edge = max(int(leaf_center_px - leaf_width_px / 2), 0)
+        right_edge = min(int(leaf_center_px + leaf_width_px / 2), self.image.shape[1])
+        return self.image[top_edge:bottom_edge, left_edge:right_edge]
+
+    def _leaves_in_view(self, analysis_width) -> list[tuple[int, float, float]]:
+        pixel_range = (self.image.shape[0] / 2
+                       if self.orientation == Orientation.UP_DOWN
+                       else self.image.shape[1] / 2)
+        pixel_range -= max(self.mlc.widths[0] * analysis_width,
+                           self.mlc.widths[-1] * analysis_width) * self.image.dpmm
+        return [(leaf_num, center, width)
+                for leaf_num, center, width in zip(self.mlc.leaves, self.mlc.centers,
+                                                   self.mlc.widths)
+                if abs(center) < pixel_range / self.image.dpmm]
+
+    # -- output -------------------------------------------------------------
+    def results(self, as_list: bool = False) -> str | list[str]:
+        offsets = " ".join(f"{pk.dist2cax:.1f}" for pk in self.pickets)
+        results = [
+            "Picket Fence Results:",
+            f"Gantry Angle (°): {self.image.gantry_angle:2.1f}",
+            f"Collimator Angle (°): {self.image.collimator_angle:2.1f}",
+            f"Tolerance (mm): {self.tolerance}",
+            f"Leaves passing (%): {self.percent_passing:2.1f}",
+            f"Absolute median error (mm): {self.abs_median_error:2.3f}mm",
+            f"Mean picket spacing (mm): {self.mean_picket_spacing:2.1f}mm",
+            f"Picket offsets from CAX (mm): {offsets}",
+            f"Max Error: {self.max_error:2.3f}mm on Picket: {self.max_error_picket}, Leaf: {self.max_error_leaf}",
+            f"MLC Skew: {self.mlc_skew():2.3f} degrees",
+        ]
+        if self.failed_leaves():
+            results.append(f"Failing leaves: {self.failed_leaves()}")
+        if not as_list:
+            return "\n".join(results)
+        return results
+
+    def _generate_results_data(self) -> PFResult:
+        picket_widths = {
+            f"picket_{pk}": {key: self.picket_width_stat(pk, key)
+                             for key in ("max", "mean", "median", "min")}
+            for pk in range(len(self.pickets))}
+        errors_by_leaf = {}
+        positions_by_leaf = {}
+        cax_position = (self.image.center.x if self.orientation == Orientation.UP_DOWN
+                        else self.image.center.y)
+        cax_physical = cax_position / self.image.dpmm
+        for _leaf, group_iter in groupby(self.mlc_meas, key=lambda m: m.leaf_num):
+            leaf_items = list(group_iter)
+            leaf_names = leaf_items[0].full_leaf_nums
+            for idx, leaf_name in enumerate(leaf_names):
+                positions_by_leaf[str(leaf_name)] = [
+                    cax_physical - m.position_mm[idx] for m in leaf_items]
+                errors_by_leaf[str(leaf_name)] = [m.error[idx] for m in leaf_items]
+        return PFResult(
+            tolerance_mm=self.tolerance,
+            action_tolerance_mm=self.action_tolerance,
+            percent_leaves_passing=self.percent_passing,
+            number_of_pickets=self.num_pickets,
+            absolute_median_error_mm=self.abs_median_error,
+            max_error_mm=self.max_error,
+            max_error_picket=self.max_error_picket,
+            max_error_leaf=self.max_error_leaf,
+            mean_picket_spacing_mm=self.mean_picket_spacing,
+            offsets_from_cax_mm=[pk.dist2cax for pk in self.pickets],
+            passed=self.passed,
+            failed_leaves=self.failed_leaves(),
+            mlc_skew=self.mlc_skew(),
+            picket_widths=picket_widths,
+            mlc_positions_by_leaf=dict(sorted(positions_by_leaf.items())),
+            mlc_errors_by_leaf=dict(sorted(errors_by_leaf.items())),
+            cax=self.image.center.dict(),
+        )
+
+    def _quaac_datapoints(self) -> dict[str, QuaacDatum]:
+        return {
+            "Max error": QuaacDatum(value=self.max_error, unit="mm"),
+            "Absolute median error": QuaacDatum(value=self.abs_median_error, unit="mm"),
+            "Percent passing": QuaacDatum(value=self.percent_passing, unit="%"),
+            "Number of pickets": QuaacDatum(value=self.num_pickets),
+            "Mean picket spacing": QuaacDatum(value=self.mean_picket_spacing, unit="mm"),
+            "MLC skew": QuaacDatum(value=self.mlc_skew(), unit="degrees"),
+        }
+
+    def plot_analyzed_image(self, guard_rails: bool = True, mlc_peaks: bool = True,
+                            overlay: bool = True, leaf_error_subplot: bool = True,
+                            show: bool = True, figure_size: tuple | None = None,
+                            **kwargs):
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=figure_size)
+        ax.imshow(self.image.array, cmap="gray")
+        if guard_rails:
+            for idx, picket in enumerate(self.pickets):
+                picket.add_guards_to_axes(ax, idx)
+        if mlc_peaks:
+            for meas in self.mlc_meas:
+                meas.plot2axes(ax)
+        ax.set_title("Picket Fence Analysis")
+        if show:
+            plt.show()
+        return fig, ax
+
+    def plot_leaf_profile(self, leaf, picket: int, show: bool = True):
+        import matplotlib.pyplot as plt
+
+        matches = [m for m in self.mlc_meas
+                   if leaf in m.full_leaf_nums and m.picket_num == picket]
+        if len(matches) != 1:
+            raise ValueError(f"Could not find a unique measurement for leaf {leaf}, picket {picket}")
+        ax = matches[0].plot_detailed_profile()
+        ax.set_title(f"MLC profile Leaf: {leaf}, Picket: {picket}")
+        if show:
+            plt.show()
+        return ax
+
+    def plot_histogram(self, bins: int = 10, show: bool = True) -> None:
+        import matplotlib.pyplot as plt
+
+        if not self._is_analyzed:
+            raise ValueError("The PF image has not been analyzed. Use .analyze() first.")
+        errors = self._flattened_errors()
+        fig, ax = plt.subplots()
+        ax.axvline(self.tolerance, color="r", linewidth=3)
+        ax.axvline(-self.tolerance, color="r", linewidth=3)
+        ax.grid(True)
+        ax.hist(errors, bins=bins)
+        if show:
+            plt.show()
+
+    def publish_pdf(self, filename: str, notes=None, open_file: bool = False,
+                    metadata: dict | None = None, logo=None) -> None:
+        from .core import pdf
+
+        canvas = pdf.PylinacCanvas(filename, page_title="Picket Fence Analysis",
+                                   metadata=metadata, logo=logo)
+        canvas.add_text(text=self.results(as_list=True), location=(2, 25.5), font_size=11)
+        if notes is not None:
+            canvas.add_text(text=notes, location=(2, 4))
+        canvas.finish()
