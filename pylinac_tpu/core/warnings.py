@@ -55,9 +55,15 @@ def capture_warnings_method_wrapper(func):
 
 def capture_warnings(cls):
     """Class decorator: wrap public methods to capture warnings
-    (reference ``core/warnings.py:90``)."""
+    (reference ``core/warnings.py:90``).
+
+    Only plain functions are wrapped — classes and other callables stored as
+    class attributes (e.g. ``image_type = SomeClass``) must pass through
+    untouched."""
+    import types
+
     for name, attr in list(vars(cls).items()):
-        if callable(attr) and not name.startswith("_") and not getattr(
-                attr, "__wrapped_for_warnings__", False):
+        if (isinstance(attr, types.FunctionType) and not name.startswith("_")
+                and not getattr(attr, "__wrapped_for_warnings__", False)):
             setattr(cls, name, capture_warnings_method_wrapper(attr))
     return cls

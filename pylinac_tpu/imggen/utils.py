@@ -74,79 +74,61 @@ def generate_winstonlutz(
     offset_mm_left: float = 0,
     offset_mm_up: float = 0,
     offset_mm_in: float = 0,
-    image_axes: list[tuple[int, int, int]] = ((0, 0, 0), (90, 0, 0), (180, 0, 0), (270, 0, 0)),
+    image_axes: Sequence[tuple[int, int, int]] = ((0, 0, 0), (90, 0, 0), (180, 0, 0), (270, 0, 0)),
+    machine_scale: MachineScale = MachineScale.IEC61217,
     gantry_tilt: float = 0,
     gantry_sag: float = 0,
     clean_dir: bool = True,
-    align_to_pixels: bool = True,
     field_alpha: float = 1.0,
     bb_alpha: float = -0.5,
     tags: dict | None = None,
-    field_offsets: Sequence[tuple[float, float]] | None = None,
-    bb_offsets: Sequence[tuple[float, float]] | None = None,
-    machine_scale: MachineScale = MachineScale.IEC61217,
 ) -> list[str]:
     """Create a mock set of WL images with the BB at the given 3D offset
-    (reference ``utils.py:139``). Returns the generated file names.
-
-    Offsets: left (+x towards gantry-left), up (+y vertical), in (+z towards
-    gantry). Image projections follow the reference's derivation.
+    (reference ``utils.py:139``).  Uses the same projection math as the WL
+    analysis (:func:`pylinac_tpu.winston_lutz.bb_projection_with_rotation`),
+    so generated geometry and analysis geometry agree exactly.
     """
     import os
     import shutil
 
+    from ..core.geometry import cos as deg_cos, sin as deg_sin
+    from ..winston_lutz import bb_projection_with_rotation
+
+    if field_alpha + bb_alpha > 1:
+        raise ValueError("field_alpha and bb_alpha must sum to <=1")
+    if field_alpha - bb_alpha < 0:
+        raise ValueError("field_alpha and bb_alpha must have a sum >=0")
     if clean_dir and osp.isdir(dir_out):
         shutil.rmtree(dir_out)
     os.makedirs(dir_out, exist_ok=True)
     file_names = []
-    for gantry, coll, couch in image_axes:
+    for gantry_in, coll_in, couch_in in image_axes:
+        gantry, coll, couch = convert(
+            input_scale=machine_scale, output_scale=MachineScale.IEC61217,
+            gantry=gantry_in, collimator=coll_in, rotation=couch_in)
         sim_single = type(simulator)(sid=simulator.sid)
-        # find the in-plane BB projection for this gantry/couch combo
-        bb_offset = bb_projection_long_short(
-            offset_left=offset_mm_left, offset_up=offset_mm_up, offset_in=offset_mm_in,
-            gantry=gantry, couch=couch, machine_scale=machine_scale,
-            sad=1000)
-        field_offset = (0, 0)
-        gantry_tilt_offset = gantry_tilt * np.cos(np.deg2rad(gantry))
-        gantry_sag_offset = gantry_sag * np.sin(np.deg2rad(gantry))
         sim_single.add_layer(field_layer(
             field_size_mm=field_size_mm,
-            cax_offset_mm=(field_offset[0] + gantry_sag_offset + gantry_tilt_offset,
-                           field_offset[1]),
-            alpha=field_alpha))
+            cax_offset_mm=(gantry_sag * deg_sin(gantry), gantry_tilt * deg_cos(gantry)),
+            alpha=field_alpha, rotation=coll))
+        gplane_offset, long_offset = bb_projection_with_rotation(
+            offset_left=offset_mm_left, offset_up=offset_mm_up,
+            offset_in=offset_mm_in, gantry=gantry, couch=couch, sad=1000)
         sim_single.add_layer(PerfectBBLayer(
-            bb_size_mm=bb_size_mm, cax_offset_mm=bb_offset, alpha=bb_alpha))
+            # cax offset expects (out, right); negative of the long offset
+            cax_offset_mm=(-long_offset, gplane_offset),
+            bb_size_mm=bb_size_mm, alpha=bb_alpha))
         if final_layers is not None:
             for layer in final_layers:
                 sim_single.add_layer(layer)
-        file_name = f"WL G={gantry}, C={coll}, P={couch}; BB @ left={offset_mm_left}, in={offset_mm_in}, up={offset_mm_up}.dcm"
+        file_name = (f"WL G={gantry}, C={coll}, P={couch}; Field={field_size_mm}mm; "
+                     f"BB={bb_size_mm}mm @ left={offset_mm_left}, in={offset_mm_in}, "
+                     f"up={offset_mm_up}.dcm")
         sim_single.generate_dicom(osp.join(dir_out, file_name),
                                   gantry_angle=gantry, coll_angle=coll,
                                   table_angle=couch, tags=tags)
         file_names.append(file_name)
     return file_names
-
-
-def bb_projection_long_short(offset_left: float, offset_up: float, offset_in: float,
-                             gantry: float, couch: float = 0,
-                             machine_scale: MachineScale = MachineScale.IEC61217,
-                             sad: float = 1000) -> tuple[float, float]:
-    """The 2D (down, right) EPID projection of a 3D BB offset for the given
-    gantry/couch angles (small-angle parallel projection, IEC 61217)."""
-    gantry, _, couch = convert(input_scale=machine_scale,
-                               output_scale=MachineScale.IEC61217,
-                               gantry=gantry, collimator=0, rotation=couch)
-    # rotate the BB about the z-axis for the couch
-    c = np.cos(np.deg2rad(couch))
-    s = np.sin(np.deg2rad(couch))
-    x = offset_left * c - offset_in * s
-    z = offset_left * s + offset_in * c
-    # gantry rotation: in-plane horizontal projection
-    g = np.deg2rad(gantry)
-    horiz = x * np.cos(g) - offset_up * np.sin(g)
-    # vertical EPID axis = longitudinal (in/out); image "down" = -in
-    long_offset = -z
-    return (long_offset, horiz)
 
 
 def generate_lightrad(

@@ -185,13 +185,15 @@ def regionprops(
 ) -> Regions:
     """Label a mask and compute fixed-K region properties in one pass.
 
-    When ``fill=True``, labeling runs on the hole-filled mask (so a hollow BB
-    ring is one region) and ``area`` still reports the unfilled pixel count —
-    matching the reference predicates' use of area vs area_filled.
+    Labels the RAW mask (like skimage); ``area_filled`` adds each region's
+    enclosed holes — holes are background components not touching the image
+    border, assigned to their enclosing region via neighbor labels.  This
+    keeps separate regions inside another region's hole separate (e.g. a BB
+    inside the out-of-field ring of a WL image window).
     """
     h, w = mask.shape
     mask = mask.astype(bool)
-    base = fill_holes(mask, max_iter=max_iter) if fill else mask
+    base = mask
     lab = label(base, connectivity=connectivity, max_iter=max_iter)
 
     flat_lab = lab.ravel()
@@ -213,9 +215,33 @@ def regionprops(
     seg = functools.partial(jax.ops.segment_sum, num_segments=num,
                             indices_are_sorted=False)
 
-    area_filled = seg(ones, slot)[:K]
     in_mask = mask.ravel().astype(jnp.float32)
-    area = seg(in_mask, slot)[:K]
+    area = seg(ones * in_mask, slot)[:K]
+
+    # --- hole filling per region -----------------------------------------
+    # holes = background components not touching the border. The enclosing
+    # region of a hole is the region directly ABOVE the hole's topmost-
+    # leftmost pixel — and since component labels are root (minimum) linear
+    # indices, that pixel's index is the hole's label itself.
+    bg_lab = label(~mask, connectivity=1, max_iter=max_iter)
+    rr_i = jnp.arange(h)[:, None]
+    cc_i = jnp.arange(w)[None, :]
+    on_border_2d = (rr_i == 0) | (rr_i == h - 1) | (cc_i == 0) | (cc_i == w - 1)
+    border_flags = jnp.zeros(h * w + 1, dtype=bool)
+    border_bg = jnp.where(on_border_2d & (bg_lab >= 0), bg_lab, h * w)
+    border_flags = border_flags.at[border_bg.ravel()].set(True)
+    is_hole = (bg_lab >= 0) & ~border_flags[jnp.clip(bg_lab, 0, h * w)]
+    flat_region_lab = lab.ravel()
+    hole_root = jnp.clip(bg_lab.ravel(), 0, h * w - 1)
+    above_idx = jnp.clip(hole_root - w, 0, h * w - 1)
+    hole_region = jnp.where(is_hole.ravel(), flat_region_lab[above_idx], -1)
+    # map each hole pixel to the enclosing region's compact slot
+    hole_slot = jnp.searchsorted(ids, hole_region)
+    hole_ok = (hole_region >= 0) & (jnp.take(ids, jnp.clip(hole_slot, 0, K)) == hole_region)
+    hole_slot = jnp.where(hole_ok & (hole_slot < K + 1), hole_slot, K + 1)
+    hole_areas = seg(hole_ok.astype(jnp.float32), hole_slot)[:K]
+    area_filled = area + hole_areas
+    # for bbox/hull we use region pixels only (holes are interior; bbox equal)
     sum_r = seg(rr * in_mask, slot)[:K]
     sum_c = seg(cc * in_mask, slot)[:K]
     centroid_r = sum_r / jnp.maximum(area, 1)
@@ -231,8 +257,8 @@ def regionprops(
     max_i = jax.ops.segment_max(jnp.where(in_mask > 0, intensity.ravel(), -jnp.inf), slot, num_segments=num)[:K]
     min_i = jax.ops.segment_min(jnp.where(in_mask > 0, intensity.ravel(), jnp.inf), slot, num_segments=num)[:K]
 
-    # bbox on the filled component (identical to unfilled bbox)
-    filled_f = base.ravel().astype(jnp.float32)
+    # bbox on the region pixels (holes are interior: identical to filled bbox)
+    filled_f = in_mask
     big = jnp.float32(h * w)
     rmin = jax.ops.segment_min(jnp.where(filled_f > 0, rr, big), slot, num_segments=num)[:K]
     cmin = jax.ops.segment_min(jnp.where(filled_f > 0, cc, big), slot, num_segments=num)[:K]
