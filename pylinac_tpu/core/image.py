@@ -822,6 +822,10 @@ class DicomImageStack:
     def metadata(self) -> dcm.Dataset:
         return self.images[0].metadata
 
+    @property
+    def metadatas(self) -> list[dcm.Dataset]:
+        return [img.metadata for img in self.images]
+
     def side_view(self, axis: int) -> np.ndarray:
         return np.stack([i.array for i in self.images], axis=-1).max(axis=axis)
 
@@ -895,6 +899,10 @@ class LazyDicomImageStack(DicomImageStack):
     @property
     def metadata(self) -> dcm.Dataset:
         return self._metas[0]
+
+    @property
+    def metadatas(self) -> list[dcm.Dataset]:
+        return self._metas
 
     @property
     def images(self):

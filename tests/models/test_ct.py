@@ -1,0 +1,92 @@
+"""CatPhan e2e tests on a synthetic CatPhan 504 stack with exact ground truth."""
+
+import numpy as np
+import pytest
+
+from pylinac_tpu.imggen.ct import generate_catphan504
+
+
+@pytest.fixture(scope="module")
+def catphan_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("catphan")
+    generate_catphan504(tmp, num_slices=60, slice_thickness_mm=2.5)
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def analyzed_ct(catphan_dir):
+    from pylinac_tpu import CatPhan504
+
+    ct = CatPhan504(catphan_dir)
+    ct.analyze()
+    return ct
+
+
+def test_origin_slice(analyzed_ct):
+    # z=0 is at slice index 30 (num_slices/2)
+    assert abs(analyzed_ct.origin_slice - 30) <= 1
+
+
+def test_roll_detection(analyzed_ct):
+    assert abs(analyzed_ct.catphan_roll) < 0.7
+
+
+def test_hu_linearity(analyzed_ct):
+    data = analyzed_ct.results_data()
+    rois = data.ctp404.hu_rois
+    expected = {"Air": -1000, "PMP": -196, "LDPE": -104, "Poly": -47,
+                "Acrylic": 115, "Delrin": 365, "Teflon": 1000}
+    for name, nominal in expected.items():
+        assert abs(rois[name].value - nominal) < 12, f"{name}: {rois[name].value}"
+    assert data.ctp404.hu_linearity_passed
+
+
+def test_geometry_nodes(analyzed_ct):
+    data = analyzed_ct.results_data()
+    assert abs(data.ctp404.avg_line_distance_mm - 50) < 0.5
+    assert data.ctp404.geometry_passed
+
+
+def test_slice_thickness(analyzed_ct):
+    data = analyzed_ct.results_data()
+    assert abs(data.ctp404.measured_slice_thickness_mm - 2.5) < 0.6
+
+
+def test_uniformity(analyzed_ct):
+    data = analyzed_ct.results_data()
+    assert data.ctp486 is not None
+    for roi in data.ctp486.rois.values():
+        assert abs(roi.value) < 10
+    assert data.ctp486.passed
+
+
+def test_low_contrast_seen(analyzed_ct):
+    data = analyzed_ct.results_data()
+    assert data.ctp515 is not None
+    # 10 HU bubbles with 3 HU noise: at least the big ones visible
+    assert data.ctp515.num_rois_seen >= 2
+
+
+def test_mtf_computed(analyzed_ct):
+    data = analyzed_ct.results_data()
+    assert data.ctp528 is not None
+    mtf50 = data.ctp528.mtf_lp_mm[50]
+    assert 0.1 < mtf50 < 1.5
+
+
+def test_results_str_and_pdf(analyzed_ct, tmp_path):
+    s = analyzed_ct.results()
+    assert "CTP 404 Results" in s
+    analyzed_ct.publish_pdf(tmp_path / "ct.pdf")
+    assert (tmp_path / "ct.pdf").read_bytes().startswith(b"%PDF")
+
+
+def test_rolled_phantom(tmp_path):
+    from pylinac_tpu import CatPhan504
+
+    generate_catphan504(tmp_path, num_slices=60, roll_deg=2.0)
+    ct = CatPhan504(str(tmp_path))
+    ct.analyze()
+    assert abs(ct.catphan_roll - 2.0) < 0.7
+    data = ct.results_data()
+    assert data.ctp404.hu_linearity_passed
