@@ -10,8 +10,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
+
 from ..core.array_utils import geometric_center_idx
 from ..ops.filters import gaussian_filter
+
+_jitted_gaussian = jax.jit(gaussian_filter, static_argnums=1)
 
 
 def clip_add(image1: np.ndarray, image2: np.ndarray, dtype=np.uint16) -> np.ndarray:
@@ -246,14 +250,20 @@ class PerfectBBLayer(PerfectConeLayer):
 
 
 class GaussianFilterLayer(Layer):
-    """Gaussian blur simulating scatter — runs on the device filter kernel."""
+    """Gaussian blur simulating scatter — runs on the device filter kernel.
+
+    The filter is jitted with a static sigma: under the axon TPU tunnel an
+    eager (op-by-op) filter pays one network round trip per tap, so a single
+    fused dispatch is ~100x faster end-to-end.
+    """
 
     def __init__(self, sigma_mm: float = 2):
         self.sigma_mm = sigma_mm
 
     def apply(self, image, pixel_size, mag_factor):
         sigma_pix = self.sigma_mm / pixel_size
-        out = np.asarray(gaussian_filter(jnp.asarray(image, jnp.float32), sigma_pix))
+        out = np.asarray(_jitted_gaussian(jnp.asarray(image, jnp.float32),
+                                          float(sigma_pix)))
         return out.astype(image.dtype)
 
 
