@@ -204,6 +204,14 @@ class BaseImage:
     array: np.ndarray
     path: str | Path
 
+    @property
+    def truncated_path(self) -> str:
+        """Shortened path for report display (reference ``image.py:285``)."""
+        p = str(getattr(self, "path", ""))
+        if len(p) > 50:
+            return "..." + p[-47:]
+        return p
+
     def __init__(self, path):
         super().__init__()
         self.metrics: list = []

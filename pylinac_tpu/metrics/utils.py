@@ -81,6 +81,10 @@ class RegionView:
         return float(self._regions.eccentricity[self._i])
 
     @property
+    def orientation(self) -> float:
+        return float(self._regions.orientation[self._i])
+
+    @property
     def major_axis_length(self) -> float:
         return float(self._regions.major_axis_length[self._i])
 

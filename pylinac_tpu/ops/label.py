@@ -111,6 +111,7 @@ class Regions(NamedTuple):
     major_axis_length: jnp.ndarray
     minor_axis_length: jnp.ndarray
     eccentricity: jnp.ndarray
+    orientation: jnp.ndarray      # (K,) float32 — skimage convention (rad)
     mean_intensity: jnp.ndarray
     max_intensity: jnp.ndarray
     min_intensity: jnp.ndarray
@@ -174,7 +175,8 @@ def fill_holes(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
     return mask | (~mask & ~outside)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "connectivity", "max_iter", "fill"))
+@functools.partial(jax.jit,
+                   static_argnames=("K", "connectivity", "max_iter", "fill", "hull"))
 def regionprops(
     mask: jnp.ndarray,
     intensity: jnp.ndarray | None = None,
@@ -182,6 +184,7 @@ def regionprops(
     connectivity: int = 1,
     max_iter: int = 64,
     fill: bool = True,
+    hull: bool = True,
 ) -> Regions:
     """Label a mask and compute fixed-K region properties in one pass.
 
@@ -281,24 +284,32 @@ def regionprops(
     major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
     minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
     ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-20), 0.0))
+    # skimage: angle of major axis vs row axis in (-pi/2, pi/2], from the
+    # inertia tensor [[mu20, -mu11], [-mu11, mu02]]
+    orientation = 0.5 * jnp.arctan2(2 * mu11, mu02 - mu20)
 
     # convex hull pixel count via D-direction support functions: a pixel
     # center is inside the hull iff its projection is ≤ the region's support
     # in every direction.  D=32 circumscribes the true hull with O(1/D²)
     # excess — well below the 0.9 solidity threshold's sensitivity.
-    D = 32
-    thetas = np.arange(D) * (2 * np.pi / D)
-    nx = jnp.asarray(np.cos(thetas), jnp.float32)
-    ny = jnp.asarray(np.sin(thetas), jnp.float32)
-    inside = jnp.ones((h * w, K), dtype=bool)
-    eps = 1e-3
-    for d in range(D):
-        proj = rr * ny[d] + cc * nx[d]  # (N,)
-        support = jax.ops.segment_max(
-            jnp.where(filled_f > 0, proj, -jnp.inf), slot, num_segments=num
-        )[:K]  # (K,)
-        inside &= proj[:, None] <= support[None, :] + eps
-    convex_area = jnp.maximum(jnp.sum(inside, axis=0).astype(jnp.float32), area_filled)
+    if hull:
+        D = 32
+        thetas = np.arange(D) * (2 * np.pi / D)
+        nx = jnp.asarray(np.cos(thetas), jnp.float32)
+        ny = jnp.asarray(np.sin(thetas), jnp.float32)
+        inside = jnp.ones((h * w, K), dtype=bool)
+        eps = 1e-3
+        for d in range(D):
+            proj = rr * ny[d] + cc * nx[d]  # (N,)
+            support = jax.ops.segment_max(
+                jnp.where(filled_f > 0, proj, -jnp.inf), slot, num_segments=num
+            )[:K]  # (K,)
+            inside &= proj[:, None] <= support[None, :] + eps
+        convex_area = jnp.maximum(
+            jnp.sum(inside, axis=0).astype(jnp.float32), area_filled)
+    else:
+        # hull skipped (memory: the test above is O(H*W*K)); solidity -> 1
+        convex_area = area_filled
 
     return Regions(
         valid=valid[:K], area=area, area_filled=area_filled,
@@ -309,6 +320,7 @@ def regionprops(
         perimeter=perimeter, touches_border=touches,
         convex_area=convex_area,
         major_axis_length=major, minor_axis_length=minor, eccentricity=ecc,
+        orientation=orientation,
         mean_intensity=mean_i, max_intensity=max_i, min_intensity=min_i,
         label_id=label_id,
     )
@@ -317,3 +329,27 @@ def regionprops(
 def clear_border(regions: Regions) -> Regions:
     """Invalidate regions touching the image border (skimage clear_border)."""
     return regions._replace(valid=regions.valid & ~regions.touches_border)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "min_area", "connectivity", "max_iter"))
+def keep_largest(mask: jnp.ndarray, K: int = 64, min_area: int = 1,
+                 connectivity: int = 1, max_iter: int = 64) -> jnp.ndarray:
+    """Keep only the K largest connected components (by pixel count).
+
+    Bounds the slot count for a following :func:`regionprops` call on masks
+    with unbounded clutter (e.g. low-threshold canny edges, where noise
+    ridges create thousands of tiny components). One labelling pass + a
+    bincount — far cheaper than escalating regionprops K.
+    """
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    lab = label(mask, connectivity=connectivity, max_iter=max_iter)
+    flat = lab.ravel()
+    idx = jnp.where(flat >= 0, flat, h * w)
+    counts = jnp.zeros(h * w + 1, jnp.float32).at[idx].add(1.0)
+    counts = counts.at[h * w].set(0.0)
+    # the K-th largest count is the cut; ties may keep a few extra regions
+    kth = jnp.sort(counts)[-min(K, h * w)]
+    keep = (counts >= jnp.maximum(kth, float(min_area))) & (counts > 0)
+    return mask & keep[idx].reshape(h, w)
