@@ -1115,6 +1115,24 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         spacing = self.dicom_stack.metadata.PixelSpacing
         return spacing[0] if isinstance(spacing, list) else spacing
 
+    def plot_side_view(self, axis=None) -> None:
+        """Plot a coronal side view of the stack with module-slice markers."""
+        import matplotlib.pyplot as plt
+
+        if axis is None:
+            _, axis = plt.subplots()
+        vol = np.stack([img.array for img in self.dicom_stack])
+        mid = vol.shape[1] // 2
+        axis.imshow(vol[:, mid, :], cmap="gray", aspect="auto")
+        try:
+            for offset in self._module_offsets():
+                zs = [img.z_position for img in self.dicom_stack]
+                idx = int(np.argmin(np.abs(np.asarray(zs) - offset)))
+                axis.axhline(idx, color="b", alpha=0.5)
+        except (AttributeError, NotImplementedError):
+            pass
+        axis.set_title("Side View")
+
     def find_origin_slice(self) -> int:
         """Brute-force scan for the HU-linearity slice (reference ``:2453``)."""
         hu_slices = []
