@@ -360,3 +360,99 @@ def generate_tomocheese(
         dcm.dcmwrite(path, ds)
         paths.append(path)
     return paths
+
+
+ACR_CT_PLUGS = {  # angle (deg, y-down), HU
+    "Air": (45, -1000),
+    "Poly": (225, -95),
+    "Acrylic": (135, 120),
+    "Bone": (-45, 955),
+    "Water": (180, 0),
+}
+
+
+def generate_acr_ct(
+    dir_out: str | Path,
+    num_slices: int = 32,
+    slice_thickness_mm: float = 5.0,
+    mm_per_pixel: float = 0.5,
+    image_size: int = 512,
+    phantom_radius_mm: float = 100,
+    roll_deg: float = 0.0,
+    noise_hu: float = 3.0,
+    seed: int = 21,
+) -> list[str]:
+    """Write a synthetic ACR CT-464 series: water cylinder with the four
+    modules of ``pylinac_tpu.acr`` at their nominal offsets."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(dir_out, exist_ok=True)
+    center = image_size / 2 - 0.5
+    r_phan_px = phantom_radius_mm / mm_per_pixel
+    series_uid = dcm.generate_uid()
+    study_uid = dcm.generate_uid()
+    frame_uid = dcm.generate_uid()
+    paths = []
+    # modules: HU @0, LC @30, uniformity @70, spatial res @100
+    z_positions = (np.arange(num_slices) - 4) * slice_thickness_mm
+    roll = np.deg2rad(roll_deg)
+    yy, xx = np.mgrid[:image_size, :image_size]
+    in_phantom = (yy - center) ** 2 + (xx - center) ** 2 < r_phan_px**2
+
+    def polar_to_px(angle_deg, dist_mm):
+        a = np.deg2rad(angle_deg) + roll
+        return (center + np.cos(a) * dist_mm / mm_per_pixel,
+                center + np.sin(a) * dist_mm / mm_per_pixel)
+
+    for i, z in enumerate(z_positions):
+        hu = np.full((image_size, image_size), -1000.0)
+        hu[in_phantom] = 0.0
+
+        if abs(z) <= 9:  # HU module
+            for _name, (angle, value) in ACR_CT_PLUGS.items():
+                px, py = polar_to_px(angle, 63)
+                _disk(hu, px, py, 10 / mm_per_pixel, value)
+            # two air bubbles vertically aligned on the right for roll
+            for dy in (-25, 25):
+                a = roll
+                bx = center + (70 * np.cos(a) - dy * np.sin(a)) / mm_per_pixel
+                by = center + (70 * np.sin(a) + dy * np.cos(a)) / mm_per_pixel
+                _disk(hu, bx, by, 14 / mm_per_pixel, -1000)
+        if abs(z - 30) <= 9:  # low contrast: 30 HU disk + uniform bg
+            px, py = polar_to_px(-90, 60)
+            _disk(hu, px, py, 12 / mm_per_pixel, 30.0)
+        if abs(z - 100) <= 9:  # spatial resolution bar patterns
+            amplitudes = [400, 360, 310, 260, 210, 160, 110, 60]
+            settings = [(-135, 0.4), (-180, 0.5), (135, 0.6), (90, 0.7),
+                        (45, 0.8), (0, 0.9), (-45, 1.0), (-90, 1.2)]
+            for amp, (angle, _lpmm) in zip(amplitudes, settings):
+                px, py = polar_to_px(angle, 70)
+                rr_px = 8 / mm_per_pixel
+                mask = (yy - py) ** 2 + (xx - px) ** 2 <= rr_px**2
+                stripes = np.where((xx // 3) % 2 == 0, amp, -amp)
+                hu[mask] = stripes[mask] + 100
+
+        noise = rng.standard_normal((image_size, image_size))
+        noise = _smooth(_smooth(_smooth(noise)))
+        noise *= noise_hu / max(noise.std(), 1e-9)
+        hu += noise
+        stored = np.clip(hu + 1000, 0, 65535).astype(np.uint16)
+        ds = dcm.Dataset()
+        ds.SOPClassUID = "1.2.840.10008.5.1.4.1.1.2"
+        ds.SOPInstanceUID = dcm.generate_uid()
+        ds.StudyInstanceUID = study_uid
+        ds.SeriesInstanceUID = series_uid
+        ds.FrameOfReferenceUID = frame_uid
+        ds.Modality = "CT"
+        ds.PatientName = "ACR^Synthetic"
+        ds.PatientID = "ACRCT464"
+        ds.PixelSpacing = [mm_per_pixel, mm_per_pixel]
+        ds.SliceThickness = slice_thickness_mm
+        ds.RescaleSlope = 1.0
+        ds.RescaleIntercept = -1000.0
+        ds.ImagePositionPatient = [0.0, 0.0, float(z)]
+        ds.InstanceNumber = i + 1
+        ds.set_pixel_data(stored)
+        path = str(Path(dir_out) / f"acrct_{i:03d}.dcm")
+        dcm.dcmwrite(path, ds)
+        paths.append(path)
+    return paths

@@ -36,3 +36,32 @@ def otsu_threshold(image: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
 def percentile(values: jnp.ndarray, q: float | jnp.ndarray) -> jnp.ndarray:
     """np.percentile (linear interpolation) on the flattened array."""
     return jnp.percentile(values.ravel().astype(jnp.float32), q)
+
+
+def threshold_li(image, tolerance: float | None = None) -> float:
+    """Li's iterative minimum cross-entropy threshold
+    (skimage.filters.threshold_li semantics).
+
+    Host-side scalar iteration — converges in a handful of steps; used for
+    binarizing MR images where Otsu over-segments."""
+    import numpy as np
+
+    arr = np.asarray(image, dtype=float).ravel()
+    arr = arr[np.isfinite(arr)]
+    offset = arr.min()
+    arr = arr - offset  # means must be positive for the log
+    eps = arr[arr > 0].min() / 2 if np.any(arr > 0) else 1e-6
+    arr = arr + eps
+    tolerance = tolerance or np.ptp(arr) / 2 ** 10
+    t_next = arr.mean()
+    t_curr = -2 * tolerance
+    while abs(t_next - t_curr) > tolerance:
+        t_curr = t_next
+        fore = arr > t_curr
+        if not np.any(fore) or np.all(fore):
+            break
+        mean_fore = arr[fore].mean()
+        mean_back = arr[~fore].mean()
+        t_next = ((mean_back - mean_fore)
+                  / (np.log(mean_back) - np.log(mean_fore)))
+    return float(t_next - eps + offset)
