@@ -68,6 +68,16 @@ _LAZY_IMPORTS = {
     "IsoAlign": ("pylinac_tpu.planar_imaging", "IsoAlign"),
     "StandardImagingFC2": ("pylinac_tpu.planar_imaging", "StandardImagingFC2"),
     "ACRDigitalMammography": ("pylinac_tpu.planar_imaging", "ACRDigitalMammography"),
+    "MaxCountRate": ("pylinac_tpu.nuclear", "MaxCountRate"),
+    "PlanarUniformity": ("pylinac_tpu.nuclear", "PlanarUniformity"),
+    "CenterOfRotation": ("pylinac_tpu.nuclear", "CenterOfRotation"),
+    "TomographicResolution": ("pylinac_tpu.nuclear", "TomographicResolution"),
+    "SimpleSensitivity": ("pylinac_tpu.nuclear", "SimpleSensitivity"),
+    "FourBarResolution": ("pylinac_tpu.nuclear", "FourBarResolution"),
+    "QuadrantResolution": ("pylinac_tpu.nuclear", "QuadrantResolution"),
+    "TomographicUniformity": ("pylinac_tpu.nuclear", "TomographicUniformity"),
+    "TomographicContrast": ("pylinac_tpu.nuclear", "TomographicContrast"),
+    "Nuclide": ("pylinac_tpu.nuclear", "Nuclide"),
     "tg51": ("pylinac_tpu.calibration.tg51", None),
     "trs398": ("pylinac_tpu.calibration.trs398", None),
 }

@@ -962,14 +962,18 @@ class NMImageStack:
         arr = self.metadata.pixel_array
         if arr.ndim == 2:
             arr = arr[None]
-        self.frames = arr
-        self.images = [ArrayImage(frame) for frame in arr]
+        self.frames = []
+        for frame in arr:
+            img = ArrayImage(np.asarray(frame, dtype=float))
+            img.metadata = self.metadata  # shared file-level metadata
+            self.frames.append(img)
+        self.images = self.frames
 
     def as_3d_array(self) -> np.ndarray:
-        return np.asarray(self.frames, dtype=np.float32)
+        return np.stack([f.array for f in self.frames]).astype(np.float32)
 
     def __len__(self):
-        return len(self.images)
+        return len(self.frames)
 
 
 def tiff_to_dicom(tiff_file, sid: float, gantry: float, coll: float, couch: float,

@@ -103,14 +103,14 @@ class MomentMTF:
     """Moments-based MTF (Hander et al 1997; reference ``core/mtf.py:223``)."""
 
     def __init__(self, lpmms: Sequence[float], means: Sequence[float],
-                 stds: Sequence[float], bar_widths: Sequence[float] | None = None):
+                 stds: Sequence[float]):
         self.lpmms = lpmms
-        self.mtfs = {lpmm: moments_mtf(mean, std)
-                     for lpmm, mean, std in zip(lpmms, means, stds)}
+        self.mtfs = {}
         self.fwhms = {}
-        if bar_widths is not None:
-            self.fwhms = {lpmm: moments_fwhm(width, mean, std)
-                          for lpmm, width, mean, std in zip(lpmms, bar_widths, means, stds)}
+        for lpmm, mean, std in zip(lpmms, means, stds):
+            self.mtfs[lpmm] = moments_mtf(mean, std)
+            bar_width = 1 / (2 * lpmm)  # a line pair is 2 bars
+            self.fwhms[lpmm] = moments_fwhm(bar_width, mean, std)
 
     @classmethod
     def from_high_contrast_diskset(cls, lpmms: Sequence[float], diskset) -> "MomentMTF":
@@ -126,6 +126,17 @@ class MomentMTF:
         axis.plot(list(self.mtfs.keys()), list(self.mtfs.values()), marker=marker)
         axis.set_xlabel("Line pairs / mm")
         axis.set_ylabel("MTF")
+        return axis
+
+    def plot_fwhms(self, axis=None, marker: str = "o"):
+        import matplotlib.pyplot as plt
+
+        if axis is None:
+            _, axis = plt.subplots()
+        axis.plot(list(self.fwhms.keys()), list(self.fwhms.values()),
+                  marker=marker)
+        axis.set_xlabel("Line pairs / mm")
+        axis.set_ylabel("FWHM (mm)")
         return axis
 
 
