@@ -456,3 +456,80 @@ def generate_acr_ct(
         dcm.dcmwrite(path, ds)
         paths.append(path)
     return paths
+
+
+def generate_helios(
+    dir_out: str | Path,
+    num_slices: int = 40,
+    slice_thickness_mm: float = 2.5,
+    mm_per_pixel: float = 0.6,
+    image_size: int = 512,
+    phantom_radius_mm: float = 107.5,
+    noise_hu: float = 3.0,
+    seed: int = 11,
+) -> list[str]:
+    """Write a synthetic GE Helios daily-QA series: water cylinder with the
+    Section-1 Plexiglass block + bar patterns at z=0 and uniform water at
+    Section 3 (+60mm)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(dir_out, exist_ok=True)
+    center = image_size / 2 - 0.5
+    r_phan_px = phantom_radius_mm / mm_per_pixel
+    series_uid = dcm.generate_uid()
+    study_uid = dcm.generate_uid()
+    frame_uid = dcm.generate_uid()
+    paths = []
+    z_positions = (np.arange(num_slices) - 8) * slice_thickness_mm
+    yy, xx = np.mgrid[:image_size, :image_size]
+    in_phantom = (yy - center) ** 2 + (xx - center) ** 2 < r_phan_px**2
+
+    def polar_to_px(angle_deg, dist_mm):
+        a = np.deg2rad(angle_deg)
+        return (center + np.cos(a) * dist_mm / mm_per_pixel,
+                center + np.sin(a) * dist_mm / mm_per_pixel)
+
+    bar_settings = [(-53, 42, 8, 1.6, 400), (-62, 21, 7, 1.3, 300),
+                    (-120, 5, 6, 1.0, 200), (146, 16, 5, 0.8, 100)]
+    for i, z in enumerate(z_positions):
+        hu = np.full((image_size, image_size), -1000.0)
+        hu[in_phantom] = 0.0  # water
+
+        if abs(z) <= 6:  # Section 1
+            # Plexiglass block at -135deg 35mm
+            px, py = polar_to_px(-135, 35)
+            half = 8 / mm_per_pixel
+            hu[int(py - half):int(py + half), int(px - half):int(px + half)] = 120
+            # bar patterns with declining amplitude
+            for angle, dist, size, bar, amp in bar_settings:
+                px, py = polar_to_px(angle, dist)
+                half = size / 2 / mm_per_pixel
+                region = (slice(int(py - half), int(py + half)),
+                          slice(int(px - half), int(px + half)))
+                period_px = 2 * bar / mm_per_pixel
+                stripes = amp * np.sign(np.sin(2 * np.pi * xx / period_px))
+                hu[region] = stripes[region]
+        noise = rng.standard_normal((image_size, image_size))
+        noise = _smooth(_smooth(_smooth(noise)))
+        noise *= noise_hu / max(noise.std(), 1e-9)
+        hu += noise
+        stored = np.clip(hu + 1000, 0, 65535).astype(np.uint16)
+        ds = dcm.Dataset()
+        ds.SOPClassUID = "1.2.840.10008.5.1.4.1.1.2"
+        ds.SOPInstanceUID = dcm.generate_uid()
+        ds.StudyInstanceUID = study_uid
+        ds.SeriesInstanceUID = series_uid
+        ds.FrameOfReferenceUID = frame_uid
+        ds.Modality = "CT"
+        ds.PatientName = "Helios^Synthetic"
+        ds.PatientID = "HELIOS"
+        ds.PixelSpacing = [mm_per_pixel, mm_per_pixel]
+        ds.SliceThickness = slice_thickness_mm
+        ds.RescaleSlope = 1.0
+        ds.RescaleIntercept = -1000.0
+        ds.ImagePositionPatient = [0.0, 0.0, float(z)]
+        ds.InstanceNumber = i + 1
+        ds.set_pixel_data(stored)
+        path = str(Path(dir_out) / f"helios_{i:03d}.dcm")
+        dcm.dcmwrite(path, ds)
+        paths.append(path)
+    return paths
