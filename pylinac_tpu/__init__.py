@@ -78,6 +78,10 @@ _LAZY_IMPORTS = {
     "TomographicUniformity": ("pylinac_tpu.nuclear", "TomographicUniformity"),
     "TomographicContrast": ("pylinac_tpu.nuclear", "TomographicContrast"),
     "Nuclide": ("pylinac_tpu.nuclear", "Nuclide"),
+    "TrueBeamPlanGenerator": ("pylinac_tpu.plan_generator.dicom", "TrueBeamPlanGenerator"),
+    "HalcyonPlanGenerator": ("pylinac_tpu.plan_generator.dicom", "HalcyonPlanGenerator"),
+    "MLCShaper": ("pylinac_tpu.plan_generator.mlc", "MLCShaper"),
+    "generate_fluences": ("pylinac_tpu.plan_generator.fluence", "generate_fluences"),
     "tg51": ("pylinac_tpu.calibration.tg51", None),
     "trs398": ("pylinac_tpu.calibration.trs398", None),
 }

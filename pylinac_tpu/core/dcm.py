@@ -225,6 +225,27 @@ DICT: dict[str, tuple[int, str]] = {
     "DoseReferenceSequence": (0x300A0010, "SQ"),
     "ToleranceTableSequence": (0x300A0040, "SQ"),
     "ApprovalStatus": (0x300E0002, "CS"),
+    "GantryRotationDirection": (0x300A011F, "CS"),
+    "BeamLimitingDeviceRotationDirection": (0x300A0121, "CS"),
+    "PatientSupportRotationDirection": (0x300A0123, "CS"),
+    "TableTopEccentricAngle": (0x300A0125, "DS"),
+    "TableTopEccentricRotationDirection": (0x300A0126, "CS"),
+    "IsocenterPosition": (0x300A012C, "DS"),
+    "PrimaryFluenceModeSequence": (0x30020050, "SQ"),
+    "FluenceMode": (0x30020051, "CS"),
+    "FluenceModeID": (0x30020052, "SH"),
+    "ToleranceTableNumber": (0x300A0042, "IS"),
+    "ReferencedToleranceTableNumber": (0x300C00A0, "IS"),
+    "ReferencedDoseReferenceUID": (0x300A0083, "UI"),
+    "BeamDose": (0x300A0084, "DS"),
+    "DoseReferenceNumber": (0x300A0012, "IS"),
+    "DoseReferenceUID": (0x300A0013, "UI"),
+    "DoseReferenceStructureType": (0x300A0014, "CS"),
+    "DoseReferenceDescription": (0x300A0016, "LO"),
+    "DoseReferenceType": (0x300A0020, "CS"),
+    "DeliveryMaximumDose": (0x300A0023, "DS"),
+    "TargetPrescriptionDose": (0x300A0026, "DS"),
+    "TargetMaximumDose": (0x300A0027, "DS"),
     # NM
     "RotationInformationSequence": (0x00540052, "SQ"),
     "NumberOfFramesInRotation": (0x00540053, "US"),
