@@ -126,18 +126,32 @@ def hough_line(image: np.ndarray, theta: np.ndarray):
 
 def hough_line_peaks(hspace, angles, dists, min_distance=9, min_angle=10,
                      num_peaks=np.inf):
-    """Greedy peak selection with (dist, angle) suppression windows."""
+    """Greedy peak selection with (dist, angle) suppression windows.
+
+    A line near theta = +/-90deg votes at BOTH ends of the angle axis (with
+    negated distance), so suppression also covers each accepted peak's
+    antipodal twin — matching skimage's wrap handling."""
+    n_dist, n_angle = hspace.shape
     order = np.argsort(hspace, axis=None)[::-1]
     accepted = []
+    suppressors = []  # (i, j) windows incl. antipodal twins
+
+    def near(i, j, si, sj):
+        return abs(i - si) <= min_distance and abs(j - sj) <= min_angle
+
     for flat in order:
         i, j = np.unravel_index(flat, hspace.shape)
         if hspace[i, j] == 0:
             break
-        if all(abs(i - ai) > min_distance or abs(j - aj) > min_angle
-               for ai, aj in accepted):
-            accepted.append((i, j))
-            if len(accepted) >= num_peaks:
-                break
+        if any(near(i, j, si, sj) for si, sj in suppressors):
+            continue
+        accepted.append((i, j))
+        suppressors.append((i, j))
+        # antipodal twin: angle shifted by pi (the full axis), dist mirrored
+        twin_j = j + n_angle if j < n_angle / 2 else j - n_angle
+        suppressors.append((n_dist - 1 - i, twin_j))
+        if len(accepted) >= num_peaks:
+            break
     accums = np.array([hspace[i, j] for i, j in accepted])
     return accums, np.array([angles[j] for _, j in accepted]), np.array(
         [dists[i] for i, _ in accepted])
