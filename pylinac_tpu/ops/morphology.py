@@ -114,3 +114,52 @@ def block_reduce(arr: np.ndarray, block_size: tuple[int, int],
     h2, w2 = arr.shape
     view = arr.reshape(h2 // by, by, w2 // bx, bx)
     return func(func(view, axis=3), axis=1)
+
+
+def _conv_binary(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Count of true pixels under the kernel at each position (SAME pad)."""
+    k = jnp.asarray(np.asarray(kernel, np.float32))
+    return jax.lax.conv_general_dilated(
+        mask.astype(jnp.float32)[None, None], k[None, None],
+        window_strides=(1, 1), padding="SAME")[0, 0]
+
+
+def binary_dilation(mask: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
+    """Dilation with an arbitrary footprint (flipped for correlation parity)."""
+    fp = np.asarray(footprint, np.float32)[::-1, ::-1]
+    return _conv_binary(jnp.asarray(mask), fp) > 0
+
+
+def binary_erosion(mask: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
+    """Erosion with an arbitrary footprint; borders count as background."""
+    fp = np.asarray(footprint, np.float32)
+    return _conv_binary(jnp.asarray(mask), fp) >= fp.sum()
+
+
+def binary_closing(mask: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
+    """Dilation then erosion (skimage.morphology.binary_closing)."""
+    return binary_erosion(binary_dilation(mask, footprint), footprint)
+
+
+def rotate_footprint(footprint: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate a small binary footprint (nearest-neighbor, resized) —
+    skimage.transform.rotate(resize=True) for structuring elements."""
+    fp = np.asarray(footprint, float)
+    a = np.deg2rad(angle_deg)
+    c, s = np.cos(a), np.sin(a)
+    h, w = fp.shape
+    # output size contains the rotated rectangle
+    H = int(np.ceil(abs(h * c) + abs(w * s)))
+    W = int(np.ceil(abs(h * s) + abs(w * c)))
+    yy, xx = np.mgrid[:H, :W]
+    cy_o, cx_o = (H - 1) / 2, (W - 1) / 2
+    cy_i, cx_i = (h - 1) / 2, (w - 1) / 2
+    # inverse-rotate output coords into input space
+    ys = (yy - cy_o) * c - (xx - cx_o) * s + cy_i
+    xs = (yy - cy_o) * s + (xx - cx_o) * c + cx_i
+    yi = np.round(ys).astype(int)
+    xi = np.round(xs).astype(int)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    out = np.zeros((H, W))
+    out[valid] = fp[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)][valid]
+    return out > 0.5

@@ -65,3 +65,24 @@ def threshold_li(image, tolerance: float | None = None) -> float:
         t_next = ((mean_back - mean_fore)
                   / (np.log(mean_back) - np.log(mean_fore)))
     return float(t_next - eps + offset)
+
+
+def threshold_yen(image, nbins: int = 256) -> float:
+    """Yen's maximum-correlation threshold (skimage.filters.threshold_yen).
+
+    Host-side histogram math; used to binarize vesselness maps."""
+    import numpy as np
+
+    arr = np.asarray(image, dtype=float).ravel()
+    arr = arr[np.isfinite(arr)]
+    counts, bin_edges = np.histogram(arr, bins=nbins)
+    bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2
+    pmf = counts.astype(float) / max(counts.sum(), 1)
+    p1 = np.cumsum(pmf)
+    p1_sq = np.cumsum(pmf**2)
+    p2_sq = np.cumsum(pmf[::-1] ** 2)[::-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crit = np.log(((p1_sq[:-1] * p2_sq[1:]) ** -1)
+                      * (p1[:-1] * (1.0 - p1[:-1])) ** 2)
+    crit = np.where(np.isfinite(crit), crit, -np.inf)
+    return float(bin_centers[:-1][np.argmax(crit)])

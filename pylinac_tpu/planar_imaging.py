@@ -32,7 +32,12 @@ from .core.exceptions import NotAnalyzed
 from .core.geometry import Circle, Point, Rectangle, Vector
 from .core.mtf import MTF
 from .core.profile import CollapsedCircleProfile, FWXMProfilePhysical, Normalization
-from .core.roi import DiskROI, HighContrastDiskROI, LowContrastDiskROI
+from .core.roi import (
+    DiskROI,
+    HighContrastDiskROI,
+    LowContrastDiskROI,
+    RectangleROI,
+)
 from .core.utilities import QuaacDatum, QuaacMixin, ResultBase, ResultsDataMixin
 from .core.warnings import capture_warnings
 from .metrics.image import SizedDiskLocator
@@ -1725,3 +1730,409 @@ class DoselabMC2MV(DoselabMC2kV):
         "roi 4": {"distance from center": 0.298, "angle": 122.9,
                   "roi radius": 0.01, "lp/mm": 0.8},
     }
+
+
+# --------------------------------------------------------------------------- #
+#                         ACR Digital Mammography                             #
+# --------------------------------------------------------------------------- #
+
+ACR_SCORE_COLORS = {0: "red", 0.5: "yellow", 1: "green"}
+
+
+class ACRDigitalMammographyResult(ResultBase):
+    """Typed result (reference ``planar_imaging.py:1201``)."""
+
+    analysis_type: str = Field(description="Phantom name")
+    phantom_center_x_y: tuple[float, float]
+    phantom_area: float = Field(title="Phantom Area (mm^2)")
+    mass_score: int = Field(title="Number of Low Contrast ROIs detected")
+    mass_rois: list[dict]
+    speck_group_score: float = Field(title="Score of Speck Groups")
+    speck_group_rois: list[dict]
+    fiber_score: float = Field(title="Score of Fibers")
+    fiber_rois: list[dict]
+
+
+@capture_warnings
+class ACRDigitalMammography(ImagePhantomBase):
+    """ACR Digital Mammography QC phantom (reference ``planar_imaging.py:3246``).
+
+    Scores masses (low-contrast disks), speck groups (microcalcification
+    clusters), and fibers (via the device Frangi vesselness kernel)."""
+
+    common_name = "ACR Digital Mammography"
+    _demo_filename = "ACRDigitalMammography.dcm"
+    phantom_bbox_size_mm2 = 130 * 70
+    roi_match_condition = "closest"
+    detection_canny_settings = {"sigma": 9, "percentiles": (0.001, 0.01)}
+    detection_conditions = [is_right_size]
+    phantom_outline_object = {"Rectangle": {"width ratio": 70,
+                                            "height ratio": 130}}
+    low_contrast_background_roi_settings = {
+        "roi 1": {"distance from center": 40.738, "angle": 72.72, "roi radius": 3.00},
+        "roi 2": {"distance from center": 22.441, "angle": 57.37, "roi radius": 3.00},
+        "roi 3": {"distance from center": 12.150, "angle": -5.19, "roi radius": 3.00},
+        "roi 4": {"distance from center": 24.323, "angle": -60.17, "roi radius": 3.00},
+        "roi 5": {"distance from center": 42.844, "angle": -73.60, "roi radius": 3.00},
+    }
+    low_contrast_roi_settings = {
+        "roi 1": {"distance from center": 53.662, "angle": 65.68, "roi radius": 3.00},
+        "roi 2": {"distance from center": 36.382, "angle": 52.59, "roi radius": 2.25},
+        "roi 3": {"distance from center": 23.825, "angle": 21.94, "roi radius": 1.50},
+        "roi 4": {"distance from center": 24.731, "angle": -26.67, "roi radius": 1.14},
+        "roi 5": {"distance from center": 38.153, "angle": -54.60, "roi radius": 0.75},
+        "roi 6": {"distance from center": 55.674, "angle": -66.61, "roi radius": 0.60},
+    }
+    speck_group_roi_settings = {
+        "roi 1": {"x offset": 1, "y offset": 49, "size": 20.0, "speck_diameter": 0.33},
+        "roi 2": {"x offset": 1, "y offset": 29, "size": 20.0, "speck_diameter": 0.28},
+        "roi 3": {"x offset": 1, "y offset": 9, "size": 20.0, "speck_diameter": 0.23},
+        "roi 4": {"x offset": 1, "y offset": -11, "size": 20.0, "speck_diameter": 0.20},
+        "roi 5": {"x offset": 1, "y offset": -31, "size": 20.0, "speck_diameter": 0.17},
+        "roi 6": {"x offset": 1, "y offset": -51, "size": 20.0, "speck_diameter": 0.14},
+    }
+    speck_roi_settings = {
+        "roi 1": {"distance from center": 0.0, "angle": 0, "search_radius": 3.0},
+        "roi 2": {"distance from center": 6.6, "angle": 35, "search_radius": 3.0},
+        "roi 3": {"distance from center": 6.6, "angle": 107, "search_radius": 3.0},
+        "roi 4": {"distance from center": 6.6, "angle": 179, "search_radius": 3.0},
+        "roi 5": {"distance from center": 6.6, "angle": 251, "search_radius": 3.0},
+        "roi 6": {"distance from center": 6.6, "angle": 323, "search_radius": 3.0},
+    }
+    fibers_roi_settings = {
+        "roi 1": {"x offset": -20, "y offset": 50, "size": 19.5,
+                  "fiber_diameter": 0.89, "fiber_orientation": 45},
+        "roi 2": {"x offset": -20, "y offset": 30, "size": 19.5,
+                  "fiber_diameter": 0.75, "fiber_orientation": -45},
+        "roi 3": {"x offset": -20, "y offset": 10, "size": 19.5,
+                  "fiber_diameter": 0.61, "fiber_orientation": 45},
+        "roi 4": {"x offset": -20, "y offset": -10, "size": 19.5,
+                  "fiber_diameter": 0.54, "fiber_orientation": -45},
+        "roi 5": {"x offset": -20, "y offset": -30, "size": 19.5,
+                  "fiber_diameter": 0.40, "fiber_orientation": 45},
+        "roi 6": {"x offset": -20, "y offset": -50, "size": 19.5,
+                  "fiber_diameter": 0.30, "fiber_orientation": -45},
+    }
+
+    class SpeckGroupROI(RectangleROI):
+        """One microcalcification cluster: a rect sample + 6 speck disks."""
+
+        class SpeckROI(DiskROI):
+            @classmethod
+            def from_speck_group_center(cls, array, angle, dist_from_center,
+                                        center, search_radius, speck_radius,
+                                        background_mean, background_std,
+                                        contrast_method,
+                                        visibility_threshold):
+                center = cls._get_shifted_center(angle, dist_from_center,
+                                                 center)
+                return cls(array, center, search_radius, speck_radius,
+                           background_mean, background_std, contrast_method,
+                           visibility_threshold)
+
+            def __init__(self, array, center, search_radius, speck_radius,
+                         background_mean, background_std, contrast_method,
+                         visibility_threshold):
+                from .core import contrast as _contrast
+
+                super().__init__(array, search_radius, center)
+                self.speck_radius = speck_radius
+                self.background_mean = background_mean
+                self.background_std = background_std
+                self.contrast_method = contrast_method
+                self.visibility_threshold = visibility_threshold
+                self.intensity = self.max
+                self.visibility = _contrast.visibility(
+                    array=np.array([self.intensity, background_mean]),
+                    radius=speck_radius, std=background_std,
+                    algorithm=contrast_method)
+                self.passed_visibility = bool(
+                    self.visibility >= visibility_threshold)
+                masked = self.masked_array()
+                coords = np.unravel_index(np.nanargmax(masked), masked.shape)
+                self.center = Point(int(coords[1]), int(coords[0]))
+
+            def as_dict(self) -> dict:
+                return {
+                    "speck_radius": self.speck_radius,
+                    "speck max intensity": self.intensity,
+                    "background mean intensity": self.background_mean,
+                    "background std intensity": self.background_std,
+                    "contrast method": self.contrast_method,
+                    "visibility": self.visibility,
+                    "visibility threshold": self.visibility_threshold,
+                    "passed visibility": bool(self.passed_visibility),
+                    "center_x_y": (self.center.x, self.center.y),
+                }
+
+        def __init__(self, array, roi_size, roi_center, speck_roi_settings,
+                     speck_radius, dpmm, contrast_method,
+                     visibility_threshold, half_thresh, full_thresh):
+            super().__init__(array=array, width=roi_size, height=roi_size,
+                             center=roi_center)
+            self.half_thresh = half_thresh
+            self.full_thresh = full_thresh
+            self.specks: list = []
+            for stng_roi in speck_roi_settings.values():
+                roi = self.SpeckROI.from_speck_group_center(
+                    array=array, angle=stng_roi["angle"],
+                    search_radius=dpmm * stng_roi["search_radius"],
+                    dist_from_center=dpmm * stng_roi["distance from center"],
+                    center=self.center, speck_radius=speck_radius,
+                    background_mean=self.mean, background_std=self.std,
+                    contrast_method=contrast_method,
+                    visibility_threshold=visibility_threshold)
+                self.specks.append(roi)
+            self.num_specks_visible = sum(
+                x.passed_visibility for x in self.specks)
+            self.score = 0
+            if self.num_specks_visible >= half_thresh:
+                self.score = 0.5
+            if self.num_specks_visible >= full_thresh:
+                self.score = 1
+
+        def plot2axes(self, axes, fill: bool = False, alpha: float = 1.0,
+                      **kwargs):
+            color = ACR_SCORE_COLORS[self.score]
+            super().plot2axes(axes, edgecolor=color, fill=fill, alpha=alpha)
+            for roi in self.specks:
+                roi.plot2axes(
+                    axes,
+                    edgecolor="green" if roi.passed_visibility else "red",
+                    fill=fill, alpha=alpha)
+
+        def as_dict(self) -> dict:
+            return {"num_specks_visible": self.num_specks_visible,
+                    "score": self.score,
+                    "specks": [s.as_dict() for s in self.specks]}
+
+    class FiberROI(RectangleROI):
+        """Fiber detection via Frangi vesselness + rotated-gap closing."""
+
+        def __init__(self, array, roi_size, roi_center, fiber_diameter,
+                     fiber_len_half_thresh, fiber_len_full_thresh,
+                     fiber_orientation, fiber_orientation_tolerance, dpmm,
+                     sigmas_ratio, max_gap):
+            import jax.numpy as jnp
+
+            from .metrics.utils import valid_region_views
+            from .ops import label as jlabel
+            from .ops.morphology import binary_closing, rotate_footprint
+            from .ops.threshold import threshold_yen
+            from .ops.vesselness import frangi
+
+            super().__init__(array=array, width=dpmm * roi_size,
+                             height=dpmm * roi_size, center=roi_center)
+            pixel_size = 1 / dpmm
+            self.fiber_diameter = fiber_diameter
+            self.fiber_len_half_thresh = fiber_len_half_thresh
+            self.fiber_len_full_thresh = fiber_len_full_thresh
+
+            img_frangi = np.asarray(frangi(
+                jnp.asarray(self.pixel_array.astype(np.float32)),
+                sigmas=tuple(float(s * dpmm * fiber_diameter)
+                             for s in sigmas_ratio),
+                black_ridges=False))
+            img_bin = img_frangi > threshold_yen(img_frangi)
+            fp = rotate_footprint(
+                np.ones((5, math.ceil(dpmm * 0.5 * max_gap))),
+                -fiber_orientation)
+            img_clo = np.asarray(binary_closing(jnp.asarray(img_bin), fp))
+            regions = jlabel.regionprops(jnp.asarray(img_clo), K=32,
+                                         connectivity=1, hull=False)
+            views = valid_region_views(regions)
+            self.region = max(views, key=lambda r: r.major_axis_length)
+            self.fiber_length = self.region.major_axis_length * pixel_size
+            self.score = 0
+            diff = abs(np.rad2deg(self.region.orientation) - fiber_orientation)
+            if diff > fiber_orientation_tolerance:
+                return
+            if self.fiber_length >= fiber_len_half_thresh:
+                self.score = 0.5
+            if self.fiber_length >= fiber_len_full_thresh:
+                self.score = 1.0
+
+        @property
+        def plot_color(self) -> str:
+            return ACR_SCORE_COLORS[self.score]
+
+        def as_dict(self) -> dict:
+            return {
+                "fiber_diameter": self.fiber_diameter,
+                "fiber_length": self.fiber_length,
+                "fiber_orientation": np.rad2deg(self.region.orientation),
+                "fiber_len_half_thresh": self.fiber_len_half_thresh,
+                "fiber_len_full_thresh": self.fiber_len_full_thresh,
+                "score": self.score,
+            }
+
+        def plot2axes(self, axes, fill: bool = False, alpha: float = 1.0,
+                      **kwargs):
+            super().plot2axes(axes=axes, edgecolor=self.plot_color)
+
+    def _phantom_radius_calc(self) -> float:
+        """Mammography ROIs are placed in physical mm: radius = dpmm."""
+        return self.dpmm
+
+    def _phantom_angle_calc(self) -> float:
+        return 0
+
+    @property
+    def dpmm(self) -> float:
+        return self.image.dpmm
+
+    def window_ceiling(self):
+        return float(np.max(self.phantom_ski_region.image_intensity))
+
+    def window_floor(self):
+        return float(np.min(self.phantom_ski_region.image_intensity))
+
+    def analyze(self, low_contrast_threshold: float = 0.05,
+                invert: bool = True, angle_override: float | None = None,
+                center_override: tuple | None = None,
+                size_override: float | None = None, ssd="auto",
+                low_contrast_method: str = Contrast.MICHELSON,
+                low_contrast_visibility_threshold: float = 20,
+                speck_group_contrast_method: str = Contrast.WEBER,
+                speck_group_visibility_threshold: float = 50,
+                speck_group_half_thresh: int = 2,
+                speck_group_full_thresh: int = 4,
+                fiber_sigmas_ratio: tuple = (0.75, 1),
+                fiber_max_gap: float = 4.0,
+                fiber_len_half_thresh: float = 5,
+                fiber_len_full_thresh: float = 8,
+                fiber_orientation_tolerance: float = 5,
+                x_adjustment: float = 0, y_adjustment: float = 0,
+                angle_adjustment: float = 0, roi_size_factor: float = 1,
+                scaling_factor: float = 1) -> None:
+        super().analyze(
+            low_contrast_threshold=low_contrast_threshold, invert=invert,
+            angle_override=angle_override, center_override=center_override,
+            size_override=size_override, ssd=ssd,
+            low_contrast_method=low_contrast_method,
+            visibility_threshold=low_contrast_visibility_threshold,
+            x_adjustment=x_adjustment, y_adjustment=y_adjustment,
+            angle_adjustment=angle_adjustment,
+            roi_size_factor=roi_size_factor, scaling_factor=scaling_factor)
+        self._analyze_speck_group(
+            contrast_method=speck_group_contrast_method,
+            visibility_threshold=speck_group_visibility_threshold,
+            half_thresh=speck_group_half_thresh,
+            full_thresh=speck_group_full_thresh)
+        self._analyze_fibers(
+            sigmas_ratio=fiber_sigmas_ratio, max_gap=fiber_max_gap,
+            fiber_orientation_tolerance=fiber_orientation_tolerance,
+            fiber_len_half_thresh=fiber_len_half_thresh,
+            fiber_len_full_thresh=fiber_len_full_thresh)
+
+    def _offset_to_global(self, x_offset_mm: float,
+                          y_offset_mm: float) -> Point:
+        """Phantom-frame mm offset -> global pixel point (rotation-aware)."""
+        a = np.deg2rad(self.phantom_angle)
+        dx = self.dpmm * x_offset_mm
+        dy = self.dpmm * y_offset_mm
+        gx = self.phantom_center.x + dx * np.cos(a) - dy * np.sin(a)
+        gy = self.phantom_center.y + dx * np.sin(a) + dy * np.cos(a)
+        return Point(gx, gy)
+
+    def _analyze_speck_group(self, contrast_method, visibility_threshold,
+                             half_thresh, full_thresh) -> None:
+        self.speck_groups: list = []
+        for stng_grp in self.speck_group_roi_settings.values():
+            center = self._offset_to_global(stng_grp["x offset"],
+                                            stng_grp["y offset"])
+            grp = self.SpeckGroupROI(
+                array=self.image.array,
+                roi_size=self.dpmm * stng_grp["size"],
+                roi_center=center,
+                speck_roi_settings=self.speck_roi_settings,
+                speck_radius=self.dpmm * 0.5 * stng_grp["speck_diameter"],
+                dpmm=self.dpmm, contrast_method=contrast_method,
+                visibility_threshold=visibility_threshold,
+                half_thresh=half_thresh, full_thresh=full_thresh)
+            self.speck_groups.append(grp)
+
+    def _analyze_fibers(self, sigmas_ratio, max_gap,
+                        fiber_orientation_tolerance, fiber_len_half_thresh,
+                        fiber_len_full_thresh) -> None:
+        self.fibers: list = []
+        for stng in self.fibers_roi_settings.values():
+            center = self._offset_to_global(stng["x offset"], stng["y offset"])
+            roi = self.FiberROI(
+                array=self.image.array, roi_size=stng["size"],
+                roi_center=center, fiber_diameter=stng["fiber_diameter"],
+                fiber_len_half_thresh=fiber_len_half_thresh,
+                fiber_len_full_thresh=fiber_len_full_thresh,
+                fiber_orientation=stng["fiber_orientation"]
+                + self.phantom_angle,
+                fiber_orientation_tolerance=fiber_orientation_tolerance,
+                dpmm=self.dpmm, sigmas_ratio=sigmas_ratio, max_gap=max_gap)
+            self.fibers.append(roi)
+
+    def results(self, as_list: bool = False) -> str | list[str]:
+        text = [f"{self.common_name} results:",
+                f"File: {self.image.truncated_path}"]
+        num_masses = sum(roi.passed_visibility
+                         for roi in self.low_contrast_rois)
+        text += [
+            f"Median Contrast: "
+            f"{np.median([roi.contrast for roi in self.low_contrast_rois]):2.2f}",
+            f'Masses "seen": {num_masses:2.0f} of {len(self.low_contrast_rois)}',
+        ]
+        speck_scores = ", ".join(f"{g.score:.1f}" for g in self.speck_groups)
+        text.append(f"Speck Group Scores: {speck_scores}")
+        fiber_scores = ", ".join(f"{f.score:.1f}" for f in self.fibers)
+        text.append(f"Fiber Scores: {fiber_scores}")
+        return text if as_list else "\n".join(text)
+
+    def _generate_results_data(self) -> ACRDigitalMammographyResult:
+        if self._low_contrast_threshold is None:
+            raise NotAnalyzed("Image is not analyzed yet. Use analyze() first.")
+        lcr = self.low_contrast_rois
+        return ACRDigitalMammographyResult(
+            analysis_type=self.common_name,
+            phantom_center_x_y=(self.phantom_center.x, self.phantom_center.y),
+            mass_score=int(sum(roi.passed_visibility for roi in lcr)),
+            mass_rois=[roi.as_dict() for roi in lcr],
+            phantom_area=self.phantom_area,
+            speck_group_score=sum(g.score for g in self.speck_groups),
+            speck_group_rois=[s.as_dict() for s in self.speck_groups],
+            fiber_score=sum(f.score for f in self.fibers),
+            fiber_rois=[f.as_dict() for f in self.fibers])
+
+    def _quaac_datapoints(self) -> dict[str, QuaacDatum]:
+        data = self.results_data()
+        return {
+            "Mass ROI Score": QuaacDatum(
+                value=data.mass_score, unit="",
+                description="Number of Mass ROIs 'seen'"),
+            "Fiber Score": QuaacDatum(value=data.fiber_score, unit="",
+                                      description="Fiber ACR score"),
+            "Speck Group Score": QuaacDatum(
+                value=data.speck_group_score, unit="",
+                description="Speck Group ACR score"),
+        }
+
+    def plot_analyzed_image(self, image: bool = True, low_contrast: bool = True,
+                            high_contrast: bool = True, show: bool = True,
+                            split_plots: bool = False, **plt_kwargs):
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.imshow(self.image.array, cmap="gray", vmin=self.window_floor(),
+                  vmax=self.window_ceiling())
+        for roi in self.low_contrast_background_rois:
+            ax.add_patch(plt.Circle((roi.center.x, roi.center.y), roi.radius,
+                                    fill=False, edgecolor="b"))
+        for roi in self.low_contrast_rois:
+            color = "green" if roi.contrast > roi.contrast_threshold else "red"
+            ax.add_patch(plt.Circle((roi.center.x, roi.center.y), roi.radius,
+                                    fill=False, edgecolor=color))
+        for grp in self.speck_groups:
+            grp.plot2axes(ax)
+        for fiber in self.fibers:
+            fiber.plot2axes(ax)
+        ax.set_title(f"{self.common_name} Phantom Analysis")
+        if show:
+            plt.show()
+        return [fig], ["image"]
