@@ -178,3 +178,32 @@ def array_to_dicom(
         for key, value in extra_tags.items():
             setattr(ds, key, value)
     return ds
+
+def create_dicom_files_from_3d_array(
+    array: np.ndarray,
+    out_dir=None,
+    slice_thickness: float = 1,
+    pixel_size: float = 1,
+):
+    """Write a 3D array as a pseudo-CT DICOM series, one file per slice along
+    the last axis (reference ``core/array_utils.py:314``)."""
+    import tempfile
+    from pathlib import Path
+
+    from . import dcm
+
+    series_uid = dcm.generate_uid()
+    out_dir = Path(out_dir) if out_dir is not None else Path(tempfile.mkdtemp())
+    out_dir.mkdir(exist_ok=True, parents=True)
+    for i in range(array.shape[-1]):
+        arr = array[..., i].astype(np.uint16)
+        ds = array_to_dicom(
+            arr, sid=1000, gantry=0, coll=0, couch=0, dpi=25.4,
+            extra_tags={
+                "SeriesInstanceUID": series_uid,
+                "ImagePositionPatient": [0.0, 0.0, float(i * slice_thickness)],
+                "SliceThickness": slice_thickness,
+                "PixelSpacing": [float(pixel_size), float(pixel_size)],
+            })
+        dcm.dcmwrite(out_dir / f"{i}.dcm", ds)
+    return out_dir

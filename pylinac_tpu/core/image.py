@@ -778,7 +778,9 @@ def z_position(metadata: dcm.Dataset) -> float:
 def _is_ct_slice(path) -> bool:
     try:
         ds = dcm.dcmread(path)
-        return ds.get("Modality") in ("CT", "MR") and "PixelData" in ds
+        # reference accepts any DICOM image here (its pseudo-CT generator
+        # emits RTIMAGE datasets); only require pixel data
+        return "PixelData" in ds
     except Exception:
         return False
 

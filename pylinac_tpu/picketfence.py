@@ -427,6 +427,37 @@ class PicketFence(ResultsDataMixin[PFResult], QuaacMixin):
         return cls(get_url(url), filter=filter, image_kwargs=image_kwargs)
 
     @classmethod
+    def from_bb_setup(cls, *args, bb_image, bb_diameter: float, **kwargs):
+        """Use a BB setup image to locate the true CAX, then analyze the PF
+        image relative to that BB position (reference ``picketfence.py:403``)."""
+        from .core.geometry import Point as _Point
+        from .metrics.image import SizedDiskLocator
+
+        bb_img = image.load(bb_image)
+
+        def _metric(invert: bool) -> SizedDiskLocator:
+            return SizedDiskLocator.from_center_physical(
+                expected_position_mm=(0, 0),
+                search_window_mm=(30 + bb_diameter, 30 + bb_diameter),
+                radius_mm=bb_diameter / 2,
+                radius_tolerance_mm=bb_diameter * 0.1 + 1,
+                invert=invert,
+            )
+
+        try:
+            caxs = bb_img.compute(metrics=_metric(invert=True))
+        except ValueError:
+            caxs = bb_img.compute(metrics=_metric(invert=False))
+        cax_shift = caxs[0] - bb_img.center
+        cax_physical_shift = _Point(x=cax_shift.x / bb_img.dpmm,
+                                    y=cax_shift.y / bb_img.dpmm)
+        instance = cls(*args, **kwargs,
+                       image_kwargs={"central_axis": cax_physical_shift})
+        instance._from_bb_setup = True
+        instance._bb_image = bb_img
+        return instance
+
+    @classmethod
     def from_demo_image(cls, filter: int = None):
         demo_file = retrieve_demo_file(name="AS1200.dcm")
         return cls(demo_file, filter=filter)
