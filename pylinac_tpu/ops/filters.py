@@ -99,6 +99,11 @@ def median_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """
     if size <= 1:
         return x
+    if size == 3 and x.ndim == 2:
+        from .pallas_median import median3x3, median3x3_supported
+
+        if median3x3_supported(x):
+            return median3x3(x)
     windows = x[None]
     for ax in range(x.ndim):
         parts = []

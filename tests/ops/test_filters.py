@@ -64,3 +64,23 @@ def test_sobel():
         ours = np.asarray(jf.sobel(img, axis=ax))
         ref = ndi.sobel(img, axis=ax, output=np.float32)
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_median3x3_parity():
+    """The fused Pallas median-of-9 kernel is bit-exact vs scipy."""
+    from pylinac_tpu.ops.pallas_median import median3x3, median3x3_supported
+
+    rng = np.random.default_rng(7)
+    for shape, dtype in [((57, 83), np.float32), ((96, 128), np.uint16)]:
+        img = (rng.random(shape) * 1000).astype(dtype)
+        assert median3x3_supported(img)
+        ours = np.asarray(median3x3(img))
+        ref = ndi.median_filter(img, size=3)
+        assert np.array_equal(ours, ref)
+
+
+def test_pallas_median3x3_gating():
+    from pylinac_tpu.ops.pallas_median import median3x3_supported
+
+    assert not median3x3_supported(np.zeros((4, 4, 4), np.float32))  # 3D
+    assert not median3x3_supported(np.zeros((2048, 2048), np.float32))  # VMEM
