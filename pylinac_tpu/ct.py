@@ -26,6 +26,7 @@ from pydantic import BaseModel, Field
 
 import jax.numpy as jnp
 
+from . import profiling
 from .core import image
 from .core.contrast import Contrast
 from .core.geometry import Line, Point
@@ -1227,29 +1228,34 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         self.roi_size_factor = roi_size_factor
         self.scaling_factor = scaling_factor
         self.roll_slice_offset = roll_slice_offset
-        self.localize(origin_slice)
+        with profiling.stage("localize"):
+            self.localize(origin_slice)
         ctp404, offset = self._get_module(CTP404CP504, raise_empty=True)
-        self.ctp404 = ctp404(
-            self, offset=offset, hu_tolerance=hu_tolerance,
-            thickness_tolerance=thickness_tolerance,
-            scaling_tolerance=scaling_tolerance, clear_borders=self.clear_borders,
-            thickness_slice_straddle=thickness_slice_straddle,
-            expected_hu_values=expected_hu_values)
+        with profiling.stage("ctp404"):
+            self.ctp404 = ctp404(
+                self, offset=offset, hu_tolerance=hu_tolerance,
+                thickness_tolerance=thickness_tolerance,
+                scaling_tolerance=scaling_tolerance, clear_borders=self.clear_borders,
+                thickness_slice_straddle=thickness_slice_straddle,
+                expected_hu_values=expected_hu_values)
         if self._has_module(CTP486):
             ctp486, offset = self._get_module(CTP486)
-            self.ctp486 = ctp486(self, offset=offset, tolerance=hu_tolerance,
-                                 clear_borders=self.clear_borders)
+            with profiling.stage("ctp486"):
+                self.ctp486 = ctp486(self, offset=offset, tolerance=hu_tolerance,
+                                     clear_borders=self.clear_borders)
         if self._has_module(CTP528):
             ctp528, offset = self._get_module(CTP528)
-            self.ctp528 = ctp528(self, offset=offset, tolerance=None,
-                                 clear_borders=self.clear_borders)
+            with profiling.stage("ctp528"):
+                self.ctp528 = ctp528(self, offset=offset, tolerance=None,
+                                     clear_borders=self.clear_borders)
         if self._has_module(CTP515):
             ctp515, offset = self._get_module(CTP515)
-            self.ctp515 = ctp515(
-                self, tolerance=low_contrast_tolerance, cnr_threshold=cnr_threshold,
-                offset=offset, contrast_method=contrast_method,
-                visibility_threshold=visibility_threshold,
-                clear_borders=self.clear_borders)
+            with profiling.stage("ctp515"):
+                self.ctp515 = ctp515(
+                    self, tolerance=low_contrast_tolerance, cnr_threshold=cnr_threshold,
+                    offset=offset, contrast_method=contrast_method,
+                    visibility_threshold=visibility_threshold,
+                    clear_borders=self.clear_borders)
 
     def _has_module(self, module_of_interest) -> bool:
         return any(issubclass(module, module_of_interest)

@@ -118,12 +118,17 @@ class QABatchRunner:
         return tuple(int(np.ceil(s / 128) * 128) for s in shape)
 
     def run(self, images: np.ndarray):
+        from .. import profiling
+
         n, h, w = images.shape
-        bh, bw = self._bucket_shape((h, w))
-        n_dev = len(self.mesh.devices.ravel())
-        pad_n = int(np.ceil(n / n_dev) * n_dev)
-        batch = np.zeros((pad_n, bh, bw), np.float32)
-        batch[:n, :h, :w] = images
-        metrics, mean_width = sharded_batch_metrics(jnp.asarray(batch), self.mesh)
+        with profiling.stage("bucket+pad"):
+            bh, bw = self._bucket_shape((h, w))
+            n_dev = len(self.mesh.devices.ravel())
+            pad_n = int(np.ceil(n / n_dev) * n_dev)
+            batch = np.zeros((pad_n, bh, bw), np.float32)
+            batch[:n, :h, :w] = images
+        with profiling.stage("sharded_compute"):
+            metrics, mean_width = sharded_batch_metrics(jnp.asarray(batch), self.mesh)
+            jax.block_until_ready(metrics)
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], metrics), float(
             np.asarray(mean_width)[0])
