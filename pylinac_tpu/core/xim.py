@@ -74,6 +74,34 @@ def _decode_diffs(buf: np.ndarray, codes: np.ndarray) -> np.ndarray:
     return np.where(codes == 0, v1, np.where(codes == 1, v2, v4))
 
 
+def _decode_native(buf: np.ndarray, lut: np.ndarray, width: int,
+                   height: int) -> np.ndarray | None:
+    """Single-pass C++ stream decode (``native/xim_decode.cpp``); None on
+    any failure so the caller falls back to the vectorized numpy path."""
+    import ctypes
+
+    from ..native import load_library
+
+    lib = load_library("xim_decode")
+    if lib is None:
+        return None
+    fn = lib.xim_decode
+    fn.restype = ctypes.c_int
+    out = np.empty(height * width, dtype=np.int32)
+    buf = np.ascontiguousarray(buf)
+    lut = np.ascontiguousarray(lut)
+    rc = fn(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.nbytes),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(width), ctypes.c_int64(height),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(height, width)
+
+
 def _reconstruct(first_vals: np.ndarray, diffs: np.ndarray, width: int, height: int) -> np.ndarray:
     """Invert the XIM 2D differencing with two cumsums.
 
@@ -132,12 +160,16 @@ class XimImage:
             buf = np.frombuffer(f.read(buf_size), dtype=np.uint8)
             _ = _read_int(f)  # uncompressed buffer size (unused)
             if read_pixels:
-                n_diffs = h * w - w - 1
-                codes = _expand_lookup_table(lut, n_diffs)
-                first_vals = buf[: (w + 1) * 4].view("<i4").astype(np.int64)
-                diffs = _decode_diffs(buf[(w + 1) * 4:], codes)
                 dtype = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}[self.bytes_per_pixel]
-                self.array = _reconstruct(first_vals, diffs, w, h).astype(dtype)
+                native = _decode_native(buf, lut, w, h)
+                if native is not None:
+                    self.array = native.astype(dtype)
+                else:
+                    n_diffs = h * w - w - 1
+                    codes = _expand_lookup_table(lut, n_diffs)
+                    first_vals = buf[: (w + 1) * 4].view("<i4").astype(np.int64)
+                    diffs = _decode_diffs(buf[(w + 1) * 4:], codes)
+                    self.array = _reconstruct(first_vals, diffs, w, h).astype(dtype)
         self.num_hist_bins = _read_int(f)
         self.histogram = list(
             struct.unpack(f"<{self.num_hist_bins}i", f.read(4 * self.num_hist_bins))

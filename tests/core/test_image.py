@@ -188,3 +188,27 @@ def test_dicom_stack_sort_and_uid_filter(tmp_path):
     assert len(lazy) == 5
     np.testing.assert_array_equal(lazy.array_3d(), stack.array_3d())
     assert stack.slice_spacing == 5.0
+
+
+def test_xim_native_decoder_matches_numpy(tmp_path):
+    """The C++ stream decoder and numpy vectorized decode are bit-identical."""
+    import os
+
+    import pylinac_tpu.native as native
+    from pylinac_tpu.core.xim import XimImage
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(-5000, 60000, (97, 131)).astype(np.int32)
+    p = tmp_path / "n.xim"
+    write_xim(p, arr, {"PixelWidth": 0.0336, "PixelHeight": 0.0336})
+    native._lib_cache.clear()
+    a_native = XimImage(p).array
+    os.environ["PYLINAC_TPU_NO_NATIVE"] = "1"
+    native._lib_cache.clear()
+    try:
+        a_numpy = XimImage(p).array
+    finally:
+        del os.environ["PYLINAC_TPU_NO_NATIVE"]
+        native._lib_cache.clear()
+    assert np.array_equal(a_native, a_numpy)
+    assert np.array_equal(a_native, arr)
