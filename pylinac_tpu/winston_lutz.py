@@ -736,6 +736,55 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
         zfile = get_url(url)
         return cls.from_zip(zfile, **kwargs)
 
+    @classmethod
+    def from_cbct_zip(cls, file, raw_pixels: bool = False, **kwargs):
+        """4-angle WL from a zipped CBCT of a BB (reference ``winston_lutz.py:1427``)."""
+        with TemporaryZipDirectory(file) as tmpz:
+            obj = cls.from_cbct(tmpz, raw_pixels=raw_pixels, **kwargs)
+        return obj
+
+    @classmethod
+    def from_cbct(cls, directory, raw_pixels: bool = False, **kwargs):
+        """Create a 4-angle WL test from a CBCT dataset: max-intensity
+        projections viewed from top/bottom/left/right, z-axis resampled to
+        isotropic spacing (reference ``winston_lutz.py:1445``). Sets
+        ``is_from_cbct`` so analyze() forces low-density BB + open field."""
+        import tempfile
+
+        from .core import dcm
+        from .core.array_utils import array_to_dicom
+
+        stack = image.DicomImageStack(directory, min_number=10,
+                                      raw_pixels=raw_pixels)
+        np_stack = np.stack([im.array for im in stack.images], axis=-1)
+        ratio = (float(stack.metadata.SliceThickness)
+                 / float(stack.metadata.PixelSpacing[0]))
+
+        def zoom_z(arr2d: np.ndarray) -> np.ndarray:
+            # linear resample along z (scipy.zoom grid_mode=True semantics)
+            n_in = arr2d.shape[1]
+            n_out = int(round(n_in * ratio))
+            x = np.clip((np.arange(n_out) + 0.5) / ratio - 0.5, 0, n_in - 1)
+            x0 = np.floor(x).astype(int)
+            x1 = np.minimum(x0 + 1, n_in - 1)
+            f = x - x0
+            return arr2d[:, x0] * (1 - f) + arr2d[:, x1] * f
+
+        left_arr = np.rot90(zoom_z(np_stack.max(axis=0)), k=1)
+        top_arr = np.rot90(zoom_z(np_stack.max(axis=1)), k=1)
+        right_arr = np.fliplr(left_arr)
+        bottom_arr = np.fliplr(top_arr)
+        dicom_dir = Path(tempfile.mkdtemp())
+        dpi = 25.4 / float(stack.metadata.PixelSpacing[0])
+        for array, gantry in zip((left_arr, top_arr, right_arr, bottom_arr),
+                                 (270, 0, 90, 180)):
+            ds = array_to_dicom(np.ascontiguousarray(array), sid=1000,
+                                gantry=gantry, coll=0, couch=0, dpi=dpi)
+            dcm.dcmwrite(dicom_dir / f"G={gantry}.dcm", ds)
+        instance = cls(dicom_dir, **kwargs)
+        instance.is_from_cbct = True
+        return instance
+
     @staticmethod
     def run_demo():
         wl = WinstonLutz.from_demo_images()

@@ -4,6 +4,7 @@ mirrors the reference's synthetic benchmarking strategy."""
 import numpy as np
 import pytest
 
+from pylinac_tpu.winston_lutz import WinstonLutz
 from pylinac_tpu.imggen.layers import GaussianFilterLayer, PerfectFieldLayer
 from pylinac_tpu.imggen.simulators import AS1200Image
 from pylinac_tpu.imggen.utils import generate_winstonlutz
@@ -114,3 +115,60 @@ def test_couch_kick_iso(tmp_path):
     wl = WinstonLutz(d)
     wl.analyze(bb_size_mm=5)
     assert wl.couch_iso_size < 0.4
+
+
+class TestFromCBCT:
+    """4-angle WL from a CBCT BB scan (reference winston_lutz.py:1445)."""
+
+    @pytest.fixture(scope="class")
+    def cbct_dir(self, tmp_path_factory):
+        from pylinac_tpu.core import dcm
+        from pylinac_tpu.core.array_utils import array_to_dicom
+
+        d = tmp_path_factory.mktemp("cbct")
+        nz, ny, nx = 80, 256, 256
+        px_mm, slice_mm = 0.5, 1.0
+        bb_r_mm = 2.5
+        off_x_mm, off_y_mm, off_z_mm = 2.0, -1.0, 3.0
+        cy, cx, cz = (ny - 1) / 2, (nx - 1) / 2, (nz - 1) / 2
+        vol = np.full((nz, ny, nx), -1000.0)
+        yy, xx = np.mgrid[:ny, :nx]
+        for z in range(nz):
+            dz_mm = (z - cz) * slice_mm - off_z_mm
+            r2_mm = bb_r_mm**2 - dz_mm**2
+            if r2_mm > 0:
+                mask = ((yy - cy - off_y_mm / px_mm) ** 2 +
+                        (xx - cx - off_x_mm / px_mm) ** 2) * px_mm**2 <= r2_mm
+                vol[z][mask] = 8000.0
+        vol += np.random.default_rng(0).normal(0, 5, vol.shape)
+        series = dcm.generate_uid()
+        for z in range(nz):
+            u16 = np.clip(vol[z] + 1024, 0, 65535).astype(np.uint16)
+            ds = array_to_dicom(
+                u16, sid=1000, gantry=0, coll=0, couch=0, dpi=25.4 / px_mm,
+                extra_tags={
+                    "SeriesInstanceUID": series,
+                    "ImagePositionPatient": [0.0, 0.0, float(z * slice_mm)],
+                    "SliceThickness": slice_mm,
+                    "PixelSpacing": [px_mm, px_mm],
+                    "RescaleSlope": 1.0, "RescaleIntercept": -1024.0,
+                    "Modality": "CT"})
+            dcm.dcmwrite(d / f"{z:03d}.dcm", ds)
+        return d
+
+    def test_four_views_and_shift(self, cbct_dir):
+        wl = WinstonLutz.from_cbct(cbct_dir)
+        assert wl.is_from_cbct
+        assert len(wl.images) == 4
+        wl.analyze(bb_size_mm=5)
+        data = wl.results_data()
+        # planted offset (x=2, y=-1, z=3) -> max 2D distance sqrt(2^2+3^2)
+        assert data.max_2d_cax_to_bb_mm == pytest.approx(3.61, abs=0.2)
+        sv = wl.bb_shift_vector
+        assert sv.x == pytest.approx(1.0, abs=0.2)
+        assert sv.y == pytest.approx(-3.0, abs=0.2)
+        assert sv.z == pytest.approx(-2.0, abs=0.2)
+
+    def test_too_few_slices(self, tmp_path):
+        with pytest.raises((ValueError, FileNotFoundError)):
+            WinstonLutz.from_cbct(tmp_path)
