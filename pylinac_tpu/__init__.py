@@ -9,7 +9,7 @@ from .version import __version__  # isort: skip
 
 from .core import decorators, geometry, image, io, mask, profile, roi, utilities
 from .core.profile import Centering
-from .core.utilities import clear_data_files
+from .core.utilities import assign2machine, clear_data_files
 from .field_analysis import (
     Device,
     DeviceFieldAnalysis,

@@ -241,3 +241,36 @@ def clear_data_files():  # pragma: no cover — parity shim
     cache = Path.home() / ".pylinac_tpu" / "demo_files"
     if cache.is_dir():
         shutil.rmtree(cache)
+
+def is_close(val: float, target, delta: float = 1) -> bool:
+    """True if ``val`` is within ``delta`` of the target (or any of a
+    sequence of targets) — reference ``core/utilities.py:144``."""
+    try:
+        targets = iter(target)
+    except TypeError:
+        targets = iter([target])
+    return any(t - delta < val < t + delta for t in targets)
+
+
+def is_close_degrees(angle1: float, angle2: float, delta: float = 1) -> bool:
+    """is_close on the circle: compares angles the short way around
+    (reference ``core/utilities.py:170``)."""
+    from .scale import wrap360
+
+    if delta < 0:
+        raise ValueError("Delta must be positive")
+    simple_diff = abs(wrap360(angle1) - wrap360(angle2))
+    return min(simple_diff, 360 - simple_diff) <= delta
+
+
+def assign2machine(source_file: str, machine_file: str) -> None:
+    """Copy the TreatmentMachineName of ``machine_file``'s first beam onto
+    every beam of ``source_file`` (overwritten in place) — the standard way
+    to retarget canned QA plans (reference ``core/utilities.py:124``)."""
+    from . import dcm
+
+    dcm_source = dcm.dcmread(source_file)
+    dcm_machine = dcm.dcmread(machine_file)
+    for beam in dcm_source.BeamSequence:
+        beam.TreatmentMachineName = dcm_machine.BeamSequence[0].TreatmentMachineName
+    dcm.dcmwrite(source_file, dcm_source)
