@@ -218,13 +218,13 @@ def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = Tr
     K = 32
     while True:
         regions = jlabel.regionprops(bw, edges, K=K, connectivity=2)
-        host = jlabel.Regions(*[np.asarray(f) for f in regions])
+        host = jlabel.regions_to_host(regions)
         if host.valid.sum() < K or K >= 512:
             break
         K *= 4
     if clear_borders:
         regions = jlabel.clear_border(regions)
-        host = jlabel.Regions(*[np.asarray(f) for f in regions])
+        host = jlabel.regions_to_host(regions)
     views = [RegionView(host, i) for i in np.nonzero(host.valid)[0]]
     return None, views, len(views)
 

@@ -360,7 +360,7 @@ class GlobalSizedFieldLocator(MetricBase):
                                          connectivity=2, fill=True)
             # clear_border with 3px buffer: invalidate regions whose bbox is
             # within 3 px of the border
-            host = jlabel.Regions(*[np.asarray(f) for f in regions])
+            host = jlabel.regions_to_host(regions)
             h, w = sample.shape
             views = []
             for i in np.nonzero(host.valid)[0]:

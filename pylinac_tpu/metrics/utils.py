@@ -8,15 +8,40 @@ re-dispatched 50×), with predicates evaluated on the fixed-K property arrays.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..core.array_utils import stretch
 from ..core.geometry import Point
 from ..ops import label as jlabel
+
+# threshold-scan chunking: each device dispatch evaluates _CHUNK thresholds
+# at once (vmap), and the host early-exits between chunks once max_number
+# features are found. One chunk costs ~one dispatch round trip regardless of
+# chunk size, so this trades the reference's 50 sequential dispatches for at
+# most 50/_CHUNK. Sentinel cutoffs > 1 yield empty masks (sample is
+# stretched to [0, 1]).
+_N_STEPS = 52
+_CHUNK = 13
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _batched_regionprops(sample: jnp.ndarray, cutoffs: jnp.ndarray, K: int):
+    """regionprops at every threshold in ONE device dispatch (vmap over the
+    cutoff axis) — turns the reference's 50-step sequential scan into a
+    single fused call (SURVEY §7: run all thresholds in parallel)."""
+
+    def one(cut):
+        regions = jlabel.regionprops(sample > cut, sample, K=K,
+                                     connectivity=1, fill=True)
+        return jlabel.clear_border(regions)
+
+    return jax.vmap(one)(cutoffs)
 
 
 class RegionView:
@@ -111,7 +136,7 @@ class RegionView:
 
 def valid_region_views(regions: jlabel.Regions, host: bool = True) -> list[RegionView]:
     """Materialize RegionViews for the valid slots (host-side)."""
-    host_regions = jlabel.Regions(*[np.asarray(f) for f in regions])
+    host_regions = jlabel.regions_to_host(regions)
     return [RegionView(host_regions, i) for i in np.nonzero(host_regions.valid)[0]]
 
 
@@ -166,9 +191,16 @@ def find_features(
     min_separation_mm: float,
     K: int = 24,
     compute_hull: bool = True,
+    batch_thresholds: bool | None = None,
 ) -> tuple[list[Point], list[np.ndarray], list[RegionView]]:
     """Scan 50 threshold steps, label + regionprops each, apply the predicate
     chain, dedupe by separation.  Parity with reference ``metrics/utils.py:66``.
+
+    ``batch_thresholds``: evaluate thresholds in vmapped chunks of
+    :data:`_CHUNK` per device dispatch instead of one call per threshold
+    (identical results). Opt-in: wins when the scan runs most thresholds
+    (multi-feature finds); the default sequential loop wins for early-exit
+    single-feature finds because it stops dispatching at the first hit.
     """
     sample = stretch(np.asarray(sample, dtype=np.float32), min=0, max=1)
     dev_sample = jnp.asarray(sample)
@@ -177,14 +209,38 @@ def find_features(
     step_size = spread / 50
     cutoff = imin + step_size
 
+    if batch_thresholds is None:
+        batch_thresholds = False
+    chunk_host = None  # Regions of (_CHUNK, K) numpy arrays for current chunk
+    if batch_thresholds:
+        # same accumulated float sequence as the sequential loop
+        cuts = []
+        c = cutoff
+        while c <= imax and len(cuts) < _N_STEPS:
+            cuts.append(c)
+            c += step_size
+        all_cutoffs = np.full(
+            ((len(cuts) + _CHUNK - 1) // _CHUNK or 1) * _CHUNK, 2.0, np.float32)
+        all_cutoffs[: len(cuts)] = cuts
+
     total_features: list[Point] = []
     feature_boundaries: list[np.ndarray] = []
     last_regions: list[RegionView] = []
+    step_idx = 0
     while cutoff <= imax and len(total_features) < max_number:
-        regions = jlabel.regionprops(dev_sample > cutoff, dev_sample, K=K,
-                                     connectivity=1, fill=True)
-        regions = jlabel.clear_border(regions)
-        host_regions = jlabel.Regions(*[np.asarray(f) for f in regions])
+        if batch_thresholds:
+            if step_idx % _CHUNK == 0:  # dispatch the next chunk of thresholds
+                chunk = all_cutoffs[step_idx: step_idx + _CHUNK]
+                batched = _batched_regionprops(dev_sample, jnp.asarray(chunk), K)
+                chunk_host = jlabel.regions_to_host(batched)
+            host_regions = jlabel.Regions(
+                *[f[step_idx % _CHUNK] for f in chunk_host])
+        else:
+            regions = jlabel.regionprops(dev_sample > cutoff, dev_sample, K=K,
+                                         connectivity=1, fill=True)
+            regions = jlabel.clear_border(regions)
+            host_regions = jlabel.regions_to_host(regions)
+        step_idx += 1
         candidates = [RegionView(host_regions, i)
                       for i in np.nonzero(host_regions.valid)[0]]
         # apply predicate chain (largest-area first like the reference)

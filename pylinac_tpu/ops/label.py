@@ -353,3 +353,45 @@ def keep_largest(mask: jnp.ndarray, K: int = 64, min_area: int = 1,
     kth = jnp.sort(counts)[-min(K, h * w)]
     keep = (counts >= jnp.maximum(kth, float(min_area))) & (counts > 0)
     return mask & keep[idx].reshape(h, w)
+
+# host-transfer dtypes per Regions field, in field order
+_FIELD_DTYPES = (np.bool_, np.float32, np.float32, np.float32, np.float32,
+                 np.float32, np.float32, np.int32, np.int32, np.int32,
+                 np.int32, np.float32, np.bool_, np.float32, np.float32,
+                 np.float32, np.float32, np.float32, np.float32, np.float32,
+                 np.float32, np.int32)
+
+
+@jax.jit
+def pack_regions(regions: Regions) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack Regions into two float32 arrays for bulk device->host transfer
+    (some transports fetch integer arrays one element per round trip; floats
+    go in bulk). Values are all exact in float32 (areas/labels < 2^24).
+    Returns (main, label_id): main stacks the 21 same-shape (..., K) fields
+    on a trailing axis; label_id is (..., K+1) and rides separately."""
+    def as_f32(f):
+        if f.dtype in (jnp.int32, jnp.int64):
+            # clamp int sentinels (INT32_MAX in empty bbox slots) into
+            # float32-exact range; consumers only read valid slots
+            f = jnp.clip(f, -(2**24), 2**24)
+        return f.astype(jnp.float32)
+
+    main = jnp.stack([as_f32(f) for f in regions[:-1]], axis=-1)
+    return main, regions.label_id.astype(jnp.float32)
+
+
+def regions_to_host(regions_or_packed) -> Regions:
+    """Bulk pull of (possibly vmap-batched) Regions to numpy with original
+    dtypes — two float32 transfers instead of one per int element."""
+    if isinstance(regions_or_packed, Regions):
+        packed = pack_regions(regions_or_packed)
+    else:
+        packed = regions_or_packed
+    main, label_id = packed
+    # flatten before the pull: the transport fetches multi-dim arrays one
+    # major row per round trip, 1D float32 goes as a single bulk message
+    main = np.asarray(jnp.ravel(main)).reshape(main.shape)
+    fields = [main[..., i].astype(dt) for i, dt in enumerate(_FIELD_DTYPES[:-1])]
+    fields.append(np.asarray(jnp.ravel(label_id)).reshape(label_id.shape)
+                  .astype(_FIELD_DTYPES[-1]))
+    return Regions(*fields)

@@ -184,3 +184,51 @@ def test_spiral_labeling_converges():
     ours = np.asarray(jl.label(jnp.asarray(mask), connectivity=1, max_iter=128))
     ref, n = ndi.label(mask)
     assert len(np.unique(ours[ours >= 0])) == n
+
+
+def test_regions_to_host_matches_per_field_pull():
+    """Packed bulk transfer preserves values and dtypes of every field."""
+    import jax.numpy as jnp
+
+    from pylinac_tpu.ops import label as jl
+
+    mask = np.zeros((32, 32), bool)
+    mask[5:12, 6:15] = True
+    mask[20:25, 20:24] = True
+    img = np.random.default_rng(0).random((32, 32)).astype(np.float32)
+    r = jl.regionprops(jnp.asarray(mask), jnp.asarray(img), K=8,
+                       connectivity=1, fill=True)
+    direct = jl.Regions(*[np.asarray(f) for f in r])
+    packed = jl.regions_to_host(r)
+    for name, a, b in zip(jl.Regions._fields, direct, packed):
+        assert a.dtype == b.dtype, name
+        if name.startswith("bbox"):
+            # invalid-slot int sentinels are clamped in the packed path;
+            # only valid slots are meaningful
+            a, b = a[direct.valid], b[packed.valid]
+        assert np.allclose(a, b), name
+
+
+def test_find_features_batched_matches_sequential():
+    from pylinac_tpu.metrics.features import is_right_size_bb, is_round, is_solid
+    from pylinac_tpu.metrics.utils import find_features
+
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[:128, :128]
+    img = np.full((128, 128), 100.0)
+    for cy, cx in [(40, 40), (40, 90), (90, 64)]:
+        img += 900 * (((yy - cy) ** 2 + (xx - cx) ** 2) < 4**2)
+    img += rng.normal(0, 5, img.shape)
+    conds = [is_round, is_right_size_bb, is_solid]
+
+    def run(batch):
+        pts, _b, _r = find_features(
+            img, 0, 0, 3, np.inf, dpmm=1.0, detection_conditions=conds,
+            radius_mm=4, radius_tolerance_mm=2.0, min_separation_mm=10,
+            batch_thresholds=batch)
+        return [(p.x, p.y) for p in pts]
+
+    seq = run(False)
+    bat = run(True)
+    assert len(seq) == 3
+    assert np.allclose(sorted(seq), sorted(bat))
