@@ -17,6 +17,7 @@ import io
 import textwrap
 import warnings
 import zipfile
+import functools
 from functools import cached_property
 from pathlib import Path
 from typing import BinaryIO, Callable, Sequence
@@ -24,6 +25,7 @@ from typing import BinaryIO, Callable, Sequence
 import numpy as np
 from pydantic import BaseModel, Field
 
+import jax
 import jax.numpy as jnp
 
 from . import profiling
@@ -217,7 +219,7 @@ def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = Tr
     # silent truncation that drops regions by position)
     K = 32
     while True:
-        regions = jlabel.regionprops(bw, edges, K=K, connectivity=2)
+        regions = jlabel.regionprops(bw, edges, K=K, connectivity=2, hull=False)
         host = jlabel.regions_to_host(regions)
         if host.valid.sum() < K or K >= 512:
             break
@@ -227,6 +229,27 @@ def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = Tr
         host = jlabel.regions_to_host(regions)
     views = [RegionView(host, i) for i in np.nonzero(host.valid)[0]]
     return None, views, len(views)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "clear_borders"))
+def _stack_phantom_regions(clipped_vol, raw_vol, K: int, clear_borders: bool):
+    """Whole-stack Scharr->Otsu->regionprops, vmapped over slices.
+
+    Mirrors :func:`get_regions`'s ndarray branch per slice (otsu on the
+    blurred clipped-image edges) plus :meth:`Slice.phantom_roi`'s raw-edge
+    sanity max. Returns (packed regions, per-slice raw scharr max)."""
+
+    def one(clipped_sl, raw_sl):
+        edges = gaussian_filter(scharr(clipped_sl), 1.0)
+        thres = otsu_threshold(edges)
+        bw = edges > thres
+        regions = jlabel.regionprops(bw, edges, K=K, connectivity=2,
+                                     hull=False)  # CT never reads solidity
+        if clear_borders:
+            regions = jlabel.clear_border(regions)
+        return jlabel.pack_regions(regions), jnp.max(scharr(raw_sl))
+
+    return jax.vmap(one)(clipped_vol, raw_vol)
 
 
 def combine_surrounding_slices(dicomstack, nominal_slice_num: int,
@@ -1065,15 +1088,20 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
 
     # -- localization -------------------------------------------------------
     def localize(self, origin_slice: int | None) -> None:
-        self._phantom_center_func = self.find_phantom_axis()
+        with profiling.stage("find_phantom_axis"):
+            self._slice_centroids = self._batched_phantom_centroids()
+            self._phantom_center_func = self.find_phantom_axis()
         if origin_slice is not None:
             self.origin_slice = origin_slice
         else:
-            self.origin_slice = self.find_origin_slice()
-        self.catphan_roll = self.find_phantom_roll() + self.angle_adjustment
+            with profiling.stage("find_origin_slice"):
+                self.origin_slice = self.find_origin_slice()
+        with profiling.stage("find_phantom_roll"):
+            self.catphan_roll = self.find_phantom_roll() + self.angle_adjustment
         if origin_slice is None:
-            self.origin_slice = self.refine_origin_slice(
-                initial_slice_num=self.origin_slice)
+            with profiling.stage("refine_origin_slice"):
+                self.origin_slice = self.refine_origin_slice(
+                    initial_slice_num=self.origin_slice)
         if not self._ensure_physical_scan_extent():
             raise ValueError(
                 "The physical scan extent does not match the module configuration. "
@@ -1091,9 +1119,24 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
 
     def find_phantom_axis(self):
         """Fit phantom centers across slices to linear z-functions
-        (reference ``:2398``)."""
+        (reference ``:2398``).
+
+        The per-slice Scharr->Otsu->regionprops pipeline runs as ONE batched
+        device dispatch over the whole stack (SURVEY §3.4); slices whose
+        fixed-K region slots overflow fall back to the per-slice path.
+        """
         z, center_x, center_y = [], [], []
+        batched = getattr(self, "_slice_centroids", None)
+        if batched is None:
+            batched = self._batched_phantom_centroids()
         for idx, img in enumerate(self.dicom_stack):
+            if batched is not None and batched[idx] is not None:
+                cy, cx = batched[idx]
+                if cy is not np.nan and not np.isnan(cy):
+                    z.append(idx)
+                    center_y.append(cy)
+                    center_x.append(cx)
+                continue
             slc = Slice(self, slice_num=idx, clear_borders=self.clear_borders,
                         original_image=img)
             if slc.is_phantom_in_view():
@@ -1110,6 +1153,49 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         fit_zx = np.poly1d(np.polyfit(zs[common], center_xs[common], deg=1, rcond=1e-5))
         fit_zy = np.poly1d(np.polyfit(zs[common], center_ys[common], deg=1, rcond=1e-5))
         return fit_zx, fit_zy
+
+    def _batched_phantom_centroids(self):
+        """Per-slice phantom centroids from ONE device dispatch over the
+        whole stack. Returns a list with one entry per slice: (cy, cx) when
+        the phantom was found, (nan, nan) when the slice fails the same
+        checks as :meth:`Slice.phantom_roi`, or None to request the
+        per-slice fallback (fixed-K region overflow). Returns None outright
+        if the stack couldn't be batched (heterogeneous shapes)."""
+        try:
+            vol = np.stack([img.array for img in self.dicom_stack]).astype(np.float32)
+        except ValueError:
+            return None
+        if self.clip_in_localization:
+            clipped = np.clip(vol, -1000, 1000)
+        else:
+            clipped = vol
+        K = 32
+        packed, max_edges = _stack_phantom_regions(
+            jnp.asarray(clipped), jnp.asarray(vol), K, self.clear_borders)
+        host = jlabel.regions_to_host(packed)
+        max_edges = np.asarray(jnp.ravel(max_edges))
+        out = []
+        for idx in range(vol.shape[0]):
+            if max_edges[idx] < 0.1:
+                out.append((np.nan, np.nan))  # "no edges" per-slice error
+                continue
+            valid_idxs = np.nonzero(host.valid[idx])[0]
+            if len(valid_idxs) >= K:
+                out.append(None)  # slots overflowed; per-slice K escalation
+                continue
+            if len(valid_idxs) == 0:
+                out.append((np.nan, np.nan))
+                continue
+            areas = host.area_filled[idx][valid_idxs]
+            best = valid_idxs[int(np.argmin(np.abs(areas - self.catphan_size)))]
+            area = float(host.area_filled[idx][best])
+            if (self.catphan_size * 1.3 < area
+                    or area < self.catphan_size / 1.3):
+                out.append((np.nan, np.nan))
+                continue
+            out.append((float(host.centroid_r[idx][best]),
+                        float(host.centroid_c[idx][best])))
+        return out
 
     @property
     def mm_per_pixel(self) -> float:
@@ -1134,13 +1220,21 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
             pass
         axis.set_title("Side View")
 
+    def _slice_in_view(self, image_number: int, slc: "Slice") -> bool:
+        """Phantom-in-view test, served from the batched localization cache
+        when available (same phantom_roi checks, one device dispatch total)."""
+        cached = getattr(self, "_slice_centroids", None)
+        if cached is not None and cached[image_number] is not None:
+            return not np.isnan(cached[image_number][0])
+        return slc.is_phantom_in_view()
+
     def find_origin_slice(self) -> int:
         """Brute-force scan for the HU-linearity slice (reference ``:2453``)."""
         hu_slices = []
         for image_number in range(0, self.num_images, 2):
             slc = Slice(self, image_number, combine=False,
                         clear_borders=self.clear_borders)
-            if slc.is_phantom_in_view():
+            if self._slice_in_view(image_number, slc):
                 circle_prof = CollapsedCircleProfile(
                     slc.phan_center, radius=self.localization_radius / self.mm_per_pixel,
                     image_array=slc.image, width_ratio=0.05, num_profiles=5)

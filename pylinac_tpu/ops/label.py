@@ -50,7 +50,7 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iter"))
-def label(mask: jnp.ndarray, connectivity: int = 1, max_iter: int = 64) -> jnp.ndarray:
+def label(mask: jnp.ndarray, connectivity: int = 1, max_iter: int = 512) -> jnp.ndarray:
     """Label connected components of a boolean mask.
 
     Returns an int32 image where background = -1 and each component carries
@@ -65,16 +65,57 @@ def label(mask: jnp.ndarray, connectivity: int = 1, max_iter: int = 64) -> jnp.n
     lab = jnp.where(mask, lin, sentinel)
     shifts = _neighbor_shifts(connectivity)
 
-    def propagate(lab):
+    is_bg = ~mask
+    # backend-adaptive schedule (trace-time, so each backend compiles its
+    # own variant; both converge to the same component-minimum labels):
+    # TPU — segmented scans sweep straight runs cheaply on the VPU while
+    # pointer-jump gathers serialize on the scalar unit, so scan every
+    # iteration and jump rarely. CPU — gathers are cheap and the 36-pass
+    # scans are not, so jump every iteration and skip scans.
+    on_tpu = jax.default_backend() == "tpu"
+    use_scans = on_tpu
+    jump_mod = 8 if on_tpu else 1
+
+    def seg_min_scan(vals, axis: int, reverse: bool):
+        # segmented min-scan: propagate the running min along the axis,
+        # resetting at background cells. Associative, so it runs in
+        # O(log n) VPU passes via associative_scan — no gathers.
+        def op(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, jnp.where(bf, bv, jnp.minimum(av, bv))
+
+        _f, v = jax.lax.associative_scan(op, (is_bg, vals), axis=axis,
+                                         reverse=reverse)
+        return v
+
+    def propagate(lab, do_jump):
+        # one neighbor pass (handles diagonals/turns) ...
         best = lab
         for dy, dx in shifts:
             best = jnp.minimum(best, _shift2d(lab, dy, dx, sentinel))
         best = jnp.where(mask, best, sentinel)
-        # pointer jumping twice: lab[p] <- root estimate of root estimate
-        flat = jnp.append(best.ravel(), sentinel)  # sentinel maps to itself
-        flat = flat[flat]
-        flat = flat[flat]
-        return flat[:-1].reshape(h, w)
+        # ... then sweep the min across entire straight runs in all four
+        # directions: a component's label crosses any monotone stretch in
+        # ONE iteration, so convergence scales with the number of "turns"
+        # in the component, not its geodesic diameter. Thin-edge masks
+        # (Scharr rings) converge in dozens of sweeps instead of ~1000.
+        if use_scans:
+            for axis in (0, 1):
+                for reverse in (False, True):
+                    best = jnp.minimum(best, seg_min_scan(best, axis, reverse))
+            best = jnp.where(mask, best, sentinel)
+
+        def jump(b):
+            # occasional pointer jumping guarantees ~log convergence for
+            # pathological curvy components (spiral wire-ramp edges). Kept
+            # rare because gathers run on the TPU scalar unit.
+            flat = jnp.append(b.ravel(), sentinel)  # sentinel maps to itself
+            flat = flat[flat]
+            flat = flat[flat]
+            return flat[:-1].reshape(h, w)
+
+        return jax.lax.cond(do_jump, jump, lambda b: b, best)
 
     def cond(state):
         i, lab, changed = state
@@ -82,7 +123,7 @@ def label(mask: jnp.ndarray, connectivity: int = 1, max_iter: int = 64) -> jnp.n
 
     def body(state):
         i, lab, _ = state
-        new = propagate(lab)
+        new = propagate(lab, (i % jump_mod) == (jump_mod - 1))
         return i + 1, new, jnp.any(new != lab)
 
     _, lab, _ = jax.lax.while_loop(cond, body, (0, lab, jnp.bool_(True)))
@@ -157,7 +198,7 @@ def _perimeter_image(lab: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(border, weights[jnp.clip(val, 0, 49)], 0.0)
 
 
-def fill_holes(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
+def fill_holes(mask: jnp.ndarray, max_iter: int = 512) -> jnp.ndarray:
     """scipy.ndimage.binary_fill_holes equivalent: background components not
     touching the border are holes."""
     h, w = mask.shape
@@ -182,7 +223,7 @@ def regionprops(
     intensity: jnp.ndarray | None = None,
     K: int = 32,
     connectivity: int = 1,
-    max_iter: int = 64,
+    max_iter: int = 512,
     fill: bool = True,
     hull: bool = True,
 ) -> Regions:
@@ -215,11 +256,48 @@ def regionprops(
     rr = jnp.broadcast_to(r, (h, w)).ravel()
     cc = jnp.broadcast_to(c, (h, w)).ravel()
     ones = jnp.ones(h * w, jnp.float32)
-    seg = functools.partial(jax.ops.segment_sum, num_segments=num,
-                            indices_are_sorted=False)
+
+    # backend-adaptive segment reductions (trace-time branch): scatters
+    # serialize on the TPU scalar unit, so on TPU sums ride the MXU as
+    # one-hot matmuls and min/max become masked reductions over the same
+    # (N, num) one-hot; on CPU the native segment ops are faster.
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        onehot = (slot[:, None] == jnp.arange(num, dtype=slot.dtype)[None, :])
+        onehot_f = onehot.astype(jnp.float32)
+
+        def seg_many(features):  # (N, F) -> (num, F) summed per slot
+            # HIGHEST precision: the default TPU matmul truncates f32 inputs
+            # to bf16, which destroys the large coordinate-moment sums
+            # (E[r^2] - E[r]^2 cancellation needs full f32 products)
+            return jax.lax.dot_general(
+                onehot_f, features, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        def seg(values, _slot=None):  # (N,) -> (num,)
+            return seg_many(values[:, None])[:, 0]
+
+        def seg_max(values):
+            return jnp.max(jnp.where(onehot, values[:, None], -jnp.inf), axis=0)
+
+        def seg_min(values):
+            return jnp.min(jnp.where(onehot, values[:, None], jnp.inf), axis=0)
+    else:
+        def seg(values, _slot=None):
+            return jax.ops.segment_sum(values, slot, num_segments=num)
+
+        def seg_many(features):
+            return jax.ops.segment_sum(features, slot, num_segments=num)
+
+        def seg_max(values):
+            return jax.ops.segment_max(values, slot, num_segments=num)
+
+        def seg_min(values):
+            return jax.ops.segment_min(values, slot, num_segments=num)
 
     in_mask = mask.ravel().astype(jnp.float32)
-    area = seg(ones * in_mask, slot)[:K]
+    area = seg(ones * in_mask)[:K]
 
     # --- hole filling per region -----------------------------------------
     # holes = background components not touching the border. The enclosing
@@ -242,42 +320,58 @@ def regionprops(
     hole_slot = jnp.searchsorted(ids, hole_region)
     hole_ok = (hole_region >= 0) & (jnp.take(ids, jnp.clip(hole_slot, 0, K)) == hole_region)
     hole_slot = jnp.where(hole_ok & (hole_slot < K + 1), hole_slot, K + 1)
-    hole_areas = seg(hole_ok.astype(jnp.float32), hole_slot)[:K]
+    if on_tpu:
+        hole_onehot = (hole_slot[:, None]
+                       == jnp.arange(num, dtype=hole_slot.dtype)[None, :])
+        hole_areas = jax.lax.dot_general(
+            hole_onehot.astype(jnp.float32),
+            hole_ok.astype(jnp.float32)[:, None],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[:K, 0]
+    else:
+        hole_areas = jax.ops.segment_sum(
+            hole_ok.astype(jnp.float32), hole_slot, num_segments=num)[:K]
     area_filled = area + hole_areas
-    # for bbox/hull we use region pixels only (holes are interior; bbox equal)
-    sum_r = seg(rr * in_mask, slot)[:K]
-    sum_c = seg(cc * in_mask, slot)[:K]
-    centroid_r = sum_r / jnp.maximum(area, 1)
-    centroid_c = sum_c / jnp.maximum(area, 1)
 
     if intensity is None:
         intensity = mask.astype(jnp.float32)
     ii = intensity.ravel().astype(jnp.float32) * in_mask
-    sum_i = seg(ii, slot)[:K]
-    wc_r = seg(rr * ii, slot)[:K] / jnp.maximum(sum_i, 1e-20)
-    wc_c = seg(cc * ii, slot)[:K] / jnp.maximum(sum_i, 1e-20)
+    on_border = ((rr == 0) | (rr == h - 1) | (cc == 0) | (cc == w - 1)).astype(jnp.float32)
+    perim_img = _perimeter_image(lab).ravel()
+
+    # all segment SUMS in one MXU matmul: (N, num)^T @ (N, F)
+    features = jnp.stack([
+        rr * in_mask, cc * in_mask,                 # centroid sums
+        ii, rr * ii, cc * ii,                       # intensity sums
+        on_border * in_mask, perim_img,             # border / perimeter
+        rr * rr * in_mask, cc * cc * in_mask, rr * cc * in_mask,  # moments
+    ], axis=-1)
+    sums = seg_many(features)[:K]
+    sum_r, sum_c = sums[:, 0], sums[:, 1]
+    sum_i = sums[:, 2]
+    centroid_r = sum_r / jnp.maximum(area, 1)
+    centroid_c = sum_c / jnp.maximum(area, 1)
+    wc_r = sums[:, 3] / jnp.maximum(sum_i, 1e-20)
+    wc_c = sums[:, 4] / jnp.maximum(sum_i, 1e-20)
     mean_i = sum_i / jnp.maximum(area, 1)
-    max_i = jax.ops.segment_max(jnp.where(in_mask > 0, intensity.ravel(), -jnp.inf), slot, num_segments=num)[:K]
-    min_i = jax.ops.segment_min(jnp.where(in_mask > 0, intensity.ravel(), jnp.inf), slot, num_segments=num)[:K]
+    touches = sums[:, 5] > 0
+    perimeter = sums[:, 6]
+    max_i = seg_max(jnp.where(in_mask > 0, intensity.ravel(), -jnp.inf))[:K]
+    min_i = seg_min(jnp.where(in_mask > 0, intensity.ravel(), jnp.inf))[:K]
 
     # bbox on the region pixels (holes are interior: identical to filled bbox)
     filled_f = in_mask
     big = jnp.float32(h * w)
-    rmin = jax.ops.segment_min(jnp.where(filled_f > 0, rr, big), slot, num_segments=num)[:K]
-    cmin = jax.ops.segment_min(jnp.where(filled_f > 0, cc, big), slot, num_segments=num)[:K]
-    rmax = jax.ops.segment_max(jnp.where(filled_f > 0, rr, -1.0), slot, num_segments=num)[:K]
-    cmax = jax.ops.segment_max(jnp.where(filled_f > 0, cc, -1.0), slot, num_segments=num)[:K]
-
-    on_border = ((rr == 0) | (rr == h - 1) | (cc == 0) | (cc == w - 1)).astype(jnp.float32)
-    touches = seg(on_border * filled_f, slot)[:K] > 0
-
-    perim_img = _perimeter_image(lab).ravel()
-    perimeter = seg(perim_img, slot)[:K]
+    rmin = seg_min(jnp.where(filled_f > 0, rr, big))[:K]
+    cmin = seg_min(jnp.where(filled_f > 0, cc, big))[:K]
+    rmax = seg_max(jnp.where(filled_f > 0, rr, -1.0))[:K]
+    cmax = seg_max(jnp.where(filled_f > 0, cc, -1.0))[:K]
 
     # central moments (unfilled pixels, like skimage inertia) for axes/ecc
-    mu20 = seg(rr * rr * in_mask, slot)[:K] / jnp.maximum(area, 1) - centroid_r**2
-    mu02 = seg(cc * cc * in_mask, slot)[:K] / jnp.maximum(area, 1) - centroid_c**2
-    mu11 = seg(rr * cc * in_mask, slot)[:K] / jnp.maximum(area, 1) - centroid_r * centroid_c
+    mu20 = sums[:, 7] / jnp.maximum(area, 1) - centroid_r**2
+    mu02 = sums[:, 8] / jnp.maximum(area, 1) - centroid_c**2
+    mu11 = sums[:, 9] / jnp.maximum(area, 1) - centroid_r * centroid_c
     common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4 * mu11**2, 0.0))
     l1 = (mu20 + mu02 + common) / 2
     l2 = (mu20 + mu02 - common) / 2
@@ -301,9 +395,7 @@ def regionprops(
         eps = 1e-3
         for d in range(D):
             proj = rr * ny[d] + cc * nx[d]  # (N,)
-            support = jax.ops.segment_max(
-                jnp.where(filled_f > 0, proj, -jnp.inf), slot, num_segments=num
-            )[:K]  # (K,)
+            support = seg_max(jnp.where(filled_f > 0, proj, -jnp.inf))[:K]
             inside &= proj[:, None] <= support[None, :] + eps
         convex_area = jnp.maximum(
             jnp.sum(inside, axis=0).astype(jnp.float32), area_filled)
