@@ -74,7 +74,7 @@ def label(mask: jnp.ndarray, connectivity: int = 1, max_iter: int = 512) -> jnp.
     # scans are not, so jump every iteration and skip scans.
     on_tpu = jax.default_backend() == "tpu"
     use_scans = on_tpu
-    jump_mod = 8 if on_tpu else 1
+    jump_mod = 1
 
     def seg_min_scan(vals, axis: int, reverse: bool):
         # segmented min-scan: propagate the running min along the axis,
