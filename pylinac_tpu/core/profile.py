@@ -638,6 +638,27 @@ class SingleProfile(ProfileMixin):
             "value (exact)": utils.geometric_center_value(values),
         }
 
+    def _memoized(self, key: tuple, compute):
+        """Memoize expensive profile computations keyed by a cheap values
+        fingerprint, so repeated metric queries (flatness + symmetry +
+        penumbra + width all call field/inflection data) dispatch the device
+        kernels once instead of per metric."""
+        cache = getattr(self, "_memo_cache", None)
+        if cache is None:
+            cache = self._memo_cache = {}
+        v = self.values
+        # the position-weighted sum catches pure shifts that leave the
+        # plain sum and endpoint samples unchanged
+        fp = (v.shape[0], float(v[0]), float(v[-1]),
+              float(v[v.shape[0] // 2]), float(v.sum()),
+              float(np.dot(np.asarray(v, dtype=np.float64),
+                           np.arange(v.shape[0], dtype=np.float64))))
+        full_key = (key, fp)
+        if full_key not in cache:
+            cache[full_key] = compute()
+        result = cache[full_key]
+        return dict(result) if isinstance(result, dict) else result
+
     def geometric_center(self) -> dict:
         return self._geometric_center(self.values)
 
@@ -659,6 +680,9 @@ class SingleProfile(ProfileMixin):
         }
 
     def fwxm_data(self, x: int = 50) -> dict:
+        return self._memoized(("fwxm", x), lambda: self._fwxm_data(x))
+
+    def _fwxm_data(self, x: int = 50) -> dict:
         _, peak_props = find_peaks(self.values, fwxm_height=x / 100, max_number=1)
         left_idx = float(self._x_interp_to_original(peak_props["left_ips"][0]))
         right_idx = float(self._x_interp_to_original(peak_props["right_ips"][0]))
@@ -689,6 +713,11 @@ class SingleProfile(ProfileMixin):
         return data
 
     def field_data(self, in_field_ratio: float = 0.8, slope_exclusion_ratio=0.2) -> dict:
+        return self._memoized(
+            ("field", in_field_ratio, slope_exclusion_ratio),
+            lambda: self._field_data(in_field_ratio, slope_exclusion_ratio))
+
+    def _field_data(self, in_field_ratio: float = 0.8, slope_exclusion_ratio=0.2) -> dict:
         if slope_exclusion_ratio >= in_field_ratio:
             raise ValueError("The exclusion region must be smaller than the field ratio")
         if self._edge_method == Edge.FWHM:
@@ -782,6 +811,9 @@ class SingleProfile(ProfileMixin):
         return data
 
     def inflection_data(self) -> dict:
+        return self._memoized(("inflection",), self._inflection_data)
+
+    def _inflection_data(self) -> dict:
         if self._edge_method == Edge.FWHM:
             raise ValueError(
                 "FWHM edge method does not have inflection points. Use a different edge detection method")

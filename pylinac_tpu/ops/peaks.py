@@ -179,6 +179,25 @@ def select_top(result: PeakResult, max_number: int | None, sort_key: str = "prom
     return result._replace(valid=keep)
 
 
+_PEAK_DTYPES = (np.int32, np.float32, np.float32, np.int32, np.int32,
+                np.float32, np.float32, np.float32, np.float32, np.bool_)
+
+
+@jax.jit
+def _pack_peaks(res: PeakResult) -> jnp.ndarray:
+    """(10*K + 1,) float32: the ten (K,) fields then the overflow flag."""
+    parts = [f.astype(jnp.float32) for f in res[:-1]]
+    parts.append(res.overflowed.astype(jnp.float32)[None])
+    return jnp.concatenate([p.ravel() for p in parts])
+
+
+def _unpack_peaks(packed: np.ndarray, K: int) -> PeakResult:
+    fields = [packed[i * K:(i + 1) * K].astype(dt)
+              for i, dt in enumerate(_PEAK_DTYPES)]
+    fields.append(packed[-1:].astype(bool)[0])
+    return PeakResult(*fields)
+
+
 # --------------------------------------------------------------------------
 # Host-facing wrapper with the reference's argument semantics
 # --------------------------------------------------------------------------
@@ -211,18 +230,21 @@ def find_peaks(
     trimmed = values[lo:hi]
 
     # adaptive K: escalate geometrically if the raw maxima overflow the slots
-    # (keeps the jit cache bounded to a few K buckets)
+    # (keeps the jit cache bounded to a few K buckets). The result comes back
+    # as ONE flattened float32 transfer — integer/bool arrays and multi-dim
+    # float arrays fetch one element/row per round trip on remote transports.
     while True:
-        res = peak_analysis(
+        res_dev = peak_analysis(
             jnp.asarray(trimmed), K=K, rel_height=1 - fwxm_height,
             height=threshold, distance=float(peak_separation), min_width=float(min_width),
             required_prominence=required_prominence,
         )
-        if not bool(res.overflowed) or K >= len(trimmed):
+        res_dev = select_top(res_dev, max_number, peak_sort)
+        packed = np.asarray(_pack_peaks(res_dev))
+        if not bool(packed[-1]) or K >= len(trimmed):
             break
         K = min(K * 4, max(len(trimmed), 1))
-    res = select_top(res, max_number, peak_sort)
-    res = jax.device_get(res)
+    res = _unpack_peaks(packed, K)
     mask = res.valid.astype(bool)
     props = {
         "prominences": res.prominences[mask].astype(float),
