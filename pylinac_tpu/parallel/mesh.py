@@ -72,17 +72,22 @@ def sharded_ct_localization(volume: jnp.ndarray, mesh: Mesh):
         check_rep=False,  # lstsq on the all-gathered result is replicated
     )
     def _run(local_vol):
+        from ..ops import label as jlabel
+        from ..ops.filters import gaussian_filter
+
         def one_slice(sl):
-            edges = scharr(sl)
-            thr = otsu_threshold(edges)
-            mask = (edges > thr).astype(jnp.float32)
-            total = jnp.maximum(jnp.sum(mask), 1.0)
-            h, w = sl.shape
-            yy = jnp.arange(h, dtype=jnp.float32)[:, None]
-            xx = jnp.arange(w, dtype=jnp.float32)[None, :]
-            cy = jnp.sum(mask * yy) / total
-            cx = jnp.sum(mask * xx) / total
-            return jnp.stack([cy, cx, total])
+            # the real per-slice localization pipeline (ct.py
+            # _stack_phantom_regions): blurred Scharr edges -> Otsu ->
+            # regionprops -> centroid of the largest filled region,
+            # weighted by its area for the global fit
+            edges = gaussian_filter(scharr(sl), 1.0)
+            bw = edges > otsu_threshold(edges)
+            regions = jlabel.clear_border(
+                jlabel.regionprops(bw, edges, K=16, connectivity=2, hull=False))
+            score = jnp.where(regions.valid, regions.area_filled, -1.0)
+            best = jnp.argmax(score)
+            return jnp.stack([regions.centroid_r[best], regions.centroid_c[best],
+                              jnp.maximum(score[best], 0.0)])
 
         local_centroids = jax.vmap(one_slice)(local_vol.astype(jnp.float32))
         all_centroids = jax.lax.all_gather(local_centroids, axis_name="data",
