@@ -478,8 +478,6 @@ class MRSlice1Module(CatPhanModule):
     spacings = [0, 1 / 1.1, 1, 1 / 0.9]
 
     def _setup_rois(self) -> None:
-        import copy as _copy
-
         self.thickness_rois = {}
         self.position_rois = {}
         for name, setting in self.thickness_roi_settings.items():

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import io as _io
 import webbrowser
-from pathlib import Path
 from typing import Callable
 
 import numpy as np

@@ -13,7 +13,6 @@ TPU-native notes:
 
 from __future__ import annotations
 
-import io
 import textwrap
 import warnings
 import zipfile

@@ -23,7 +23,7 @@ import webbrowser
 import zipfile
 from io import BufferedReader, BytesIO
 from pathlib import Path
-from typing import BinaryIO, Iterable, Sequence
+from typing import BinaryIO, Sequence
 
 import numpy as np
 

@@ -40,7 +40,7 @@ from .ops.morphology import (
     remove_small_holes,
     remove_small_objects,
 )
-from .ops.optimize import levenberg_marquardt, nelder_mead
+from .ops.optimize import levenberg_marquardt
 from .ops.peaks import find_peaks
 
 

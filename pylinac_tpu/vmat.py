@@ -14,9 +14,8 @@ import math
 import warnings
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
-from io import BytesIO
 from pathlib import Path
-from typing import BinaryIO, Sequence
+from typing import Sequence
 
 import numpy as np
 from pydantic import BaseModel, ConfigDict, Field
@@ -26,7 +25,6 @@ import jax.numpy as jnp
 from .core import image
 from .core.array_utils import normalize
 from .core.geometry import Point
-from .core.image import DicomImage
 from .core.io import TemporaryZipDirectory, get_url, retrieve_demo_file
 from .core.profile import CircleProfile, FWXMProfile, Normalization
 from .core.roi import RectangleROI
