@@ -1072,26 +1072,47 @@ class WinstonLutzMultiTargetMultiFieldImage(WLBaseImage):
     """A WL image with multiple fields/BBs (reference ``:2728``)."""
 
     detection_conditions = [is_round, is_modest_size, is_symmetric]
-    field_conditions = [is_square, is_right_square_size]
 
     def find_field_centroids(self, is_open_field: bool) -> list[Point]:
+        """All fields at once: the locator is parameterized with the mean
+        rad size and a tolerance spanning the arrangement's size range
+        (reference ``:2734-2766``)."""
+        if is_open_field:
+            return [self.cax]
         from .metrics.image import GlobalSizedFieldLocator
 
+        sizes = [bb.rad_size_mm for bb in self.bb_arrangement]
+        mean_size = (max(sizes) + min(sizes)) / 2
+        tolerance = max((max(sizes) - min(sizes)) * 1.2, 0.1 * mean_size)
         return self.compute(metrics=GlobalSizedFieldLocator.from_physical(
-            field_width_mm=self.bb_arrangement[0].rad_size_mm,
-            field_height_mm=self.bb_arrangement[0].rad_size_mm,
-            field_tolerance_mm=5, max_number=len(self.bb_arrangement),
-            detection_conditions=self.field_conditions))
+            field_width_mm=mean_size, field_height_mm=mean_size,
+            field_tolerance_mm=tolerance, max_number=len(self.bb_arrangement)))
 
     def find_bb_centroids(self, bb_diameter_mm: float, low_density: bool) -> list[Point]:
-        from .metrics.image import GlobalSizedDiskLocator
+        """Per-BB windowed search at each arrangement's projected position
+        (reference ``:2768-2800``); individual misses are tolerated."""
+        from .metrics.image import SizedDiskLocator
 
-        bb_tolerance_mm = self._calculate_bb_tolerance(bb_diameter_mm)
-        return self.compute(metrics=GlobalSizedDiskLocator(
-            radius_mm=bb_diameter_mm / 2, radius_tolerance_mm=bb_tolerance_mm / 2,
-            detection_conditions=self.detection_conditions,
-            min_number=1, max_number=len(self.bb_arrangement),
-            min_separation_mm=5, invert=not low_density))
+        centers = []
+        for bb in self.bb_arrangement:
+            bb_tolerance_mm = self._calculate_bb_tolerance(bb.bb_size_mm)
+            left, sup = bb_projection_with_rotation(
+                offset_left=bb.offset_left_mm, offset_up=bb.offset_up_mm,
+                offset_in=bb.offset_in_mm, gantry=self.gantry_angle,
+                couch=self.couch_angle, sad=self.sad)
+            try:
+                centers.extend(self.compute(
+                    metrics=SizedDiskLocator.from_center_physical(
+                        # -sup: WL coords vs image coords
+                        expected_position_mm=Point(x=left, y=-sup),
+                        search_window_mm=(40 + bb.bb_size_mm, 40 + bb.bb_size_mm),
+                        radius_mm=bb.bb_size_mm / 2,
+                        radius_tolerance_mm=bb_tolerance_mm / 2,
+                        invert=not low_density,
+                        detection_conditions=self.detection_conditions)))
+            except ValueError:
+                pass
+        return centers
 
 
 @capture_warnings

@@ -172,3 +172,67 @@ class TestFromCBCT:
     def test_too_few_slices(self, tmp_path):
         with pytest.raises((ValueError, FileNotFoundError)):
             WinstonLutz.from_cbct(tmp_path)
+
+
+class TestMultiTargetMultiField:
+    """MTMF WL on a generated multi-BB/multi-field set
+    (reference winston_lutz.py:2804)."""
+
+    @pytest.fixture(scope="class")
+    def mtmf_dir(self, tmp_path_factory):
+        from pylinac_tpu.imggen.utils import generate_winstonlutz_multi_bb_multi_field
+
+        d = str(tmp_path_factory.mktemp("mtmf"))
+        arrangement = [
+            {"offset_left_mm": 0, "offset_up_mm": 0, "offset_in_mm": 0},
+            {"offset_left_mm": -20, "offset_up_mm": 0, "offset_in_mm": 30},
+        ]
+        generate_winstonlutz_multi_bb_multi_field(
+            simulator=AS1200Image(sid=1000),
+            field_layer=PerfectFieldLayer,
+            dir_out=d,
+            field_offsets=[(0, 0, 0), (-20, 0, 30)],
+            bb_offsets=arrangement,
+            final_layers=[GaussianFilterLayer(sigma_mm=1)],
+        )
+        return d, arrangement
+
+    def test_perfect_set_zero_error(self, mtmf_dir):
+        from pylinac_tpu.winston_lutz import BBConfig, WinstonLutzMultiTargetMultiField
+
+        d, arrangement = mtmf_dir
+        arr = tuple(BBConfig(name=str(i), bb_size_mm=5, rad_size_mm=20, **a)
+                    for i, a in enumerate(arrangement))
+        wl = WinstonLutzMultiTargetMultiField(d)
+        wl.analyze(bb_arrangement=arr)
+        data = wl.results_data()
+        assert data.num_total_images == 4
+        assert data.max_2d_field_to_bb_mm == pytest.approx(0, abs=0.3)
+        assert "Winston-Lutz" in wl.results()
+
+    def test_offset_bb_detected(self, tmp_path):
+        """Shift every BB 1mm left of its field: max distance ~1mm."""
+        from pylinac_tpu.imggen.utils import generate_winstonlutz_multi_bb_multi_field
+        from pylinac_tpu.winston_lutz import BBConfig, WinstonLutzMultiTargetMultiField
+
+        d = str(tmp_path / "mtmf2")
+        generate_winstonlutz_multi_bb_multi_field(
+            simulator=AS1200Image(sid=1000),
+            field_layer=PerfectFieldLayer,
+            dir_out=d,
+            field_offsets=[(0, 0, 0), (-20, 0, 30)],
+            bb_offsets=[(1, 0, 0), (-19, 0, 30)],
+            final_layers=[GaussianFilterLayer(sigma_mm=1)],
+        )
+        arr = (
+            BBConfig(name="Iso", offset_left_mm=0, offset_up_mm=0,
+                     offset_in_mm=0, bb_size_mm=5, rad_size_mm=20),
+            BBConfig(name="1", offset_left_mm=-20, offset_up_mm=0,
+                     offset_in_mm=30, bb_size_mm=5, rad_size_mm=20),
+        )
+        wl = WinstonLutzMultiTargetMultiField(d)
+        wl.analyze(bb_arrangement=arr)
+        data = wl.results_data()
+        assert data.max_2d_field_to_bb_mm == pytest.approx(1.0, abs=0.3)
+        # the shift vector should ask to move the phantom 1mm right
+        assert abs(abs(data.bb_shift_vector["x"]) - 1.0) < 0.3
