@@ -1056,6 +1056,105 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
     def plot_summary(self, show: bool = True, **kwargs):  # pragma: no cover
         return self.plot_images(show=show, **kwargs)
 
+    def plot_axis_images(self, axis=Axis.GANTRY, show: bool = True, ax=None):
+        """Plot the reference image with the BB/CAX markers of every image
+        of the given axis overlaid (reference ``:2140``)."""
+        import matplotlib.pyplot as plt
+
+        axis = convert_to_enum(axis, Axis)
+        images = [img for img in self.images
+                  if img.variable_axis in (axis, Axis.REFERENCE)]
+        if not images:
+            raise ValueError(f"No images found for axis {axis}")
+        if ax is None:
+            _, ax = plt.subplots()
+        images[0].plot(ax=ax, show=False)
+        for img in images:
+            for match in img.arrangement_matches.values():
+                ax.plot(match.bb.x, match.bb.y, "r+", markersize=8)
+                ax.plot(match.field.x, match.field.y, "bx", markersize=8)
+        ax.set_title(f"{axis.value} images")
+        if show:
+            plt.show()
+        return ax
+
+    def plot_location(self, show: bool = True, viewbox_mm: float | None = None,
+                      plot_bb: bool = True, plot_isocenter_sphere: bool = True,
+                      plot_couch_iso: bool = True, plot_coll_iso: bool = True,
+                      show_legend: bool = True):
+        """3D plot of the BB location(s) and isocenter sphere, iso at the
+        origin (reference ``:2191``)."""
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+        limit = viewbox_mm or max(3.0, 2 * self.cax2bb_distance("max") + 2)
+        if plot_bb:
+            for bb in getattr(self, "bbs", []):
+                m = bb.measured_position
+                ax.scatter(m.x, m.y, m.z, color="green", label="BB")
+        if plot_isocenter_sphere:
+            u, v = np.mgrid[0: 2 * np.pi: 20j, 0: np.pi: 10j]
+            try:
+                r = self.gantry_iso_size / 2
+            except NotImplementedError:
+                r = 0
+            ax.plot_wireframe(r * np.cos(u) * np.sin(v), r * np.sin(u) * np.sin(v),
+                              r * np.cos(v), color="blue", alpha=0.3,
+                              label="Gantry iso")
+        ax.set_xlim(-limit, limit)
+        ax.set_ylim(-limit, limit)
+        ax.set_zlim(-limit, limit)
+        ax.set_xlabel("X (mm), LEFT (+)")
+        ax.set_ylabel("Y (mm), IN (+)")
+        ax.set_zlabel("Z (mm), UP (+)")
+        if show_legend:
+            ax.legend()
+        if show:
+            plt.show()
+        return fig, ax
+
+    def save_images(self, prefix: str = "", **kwargs) -> list[str]:
+        """Save each image's analyzed plot to PNG files (reference ``:2242``)."""
+        import matplotlib.pyplot as plt
+
+        names = []
+        for img in self.images:
+            fig, ax = plt.subplots()
+            img.plot(ax=ax, show=False)
+            name = f"{prefix}{img.base_path if hasattr(img, 'base_path') else id(img)}.png"
+            fig.savefig(name, **kwargs)
+            plt.close(fig)
+            names.append(name)
+        return names
+
+    def save_images_to_stream(self, **kwargs) -> dict:
+        """Save each image's analyzed plot to BytesIO streams keyed by a
+        human axis title (reference ``:2263``)."""
+        import io as _io
+
+        import matplotlib.pyplot as plt
+
+        streams = {}
+        for idx, img in enumerate(self.images):
+            fig, ax = plt.subplots()
+            img.plot(ax=ax, show=False)
+            stream = _io.BytesIO()
+            fig.savefig(stream, **kwargs)
+            plt.close(fig)
+            title = (f"G{img.gantry_angle:.0f}, C{img.collimator_angle:.0f}, "
+                     f"P{img.couch_angle:.0f} ({idx})")
+            streams[title] = stream
+        return streams
+
+    def save_summary(self, filename, **kwargs) -> None:
+        """Save the summary plot to file."""
+        import matplotlib.pyplot as plt
+
+        fig, _ = self.plot_summary(show=False)
+        fig.savefig(filename, **kwargs)
+        plt.close(fig)
+
     def publish_pdf(self, filename, notes=None, open_file: bool = False,
                     metadata: dict | None = None, logo=None) -> None:
         from .core import pdf
