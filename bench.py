@@ -55,12 +55,10 @@ def make_pairs(n: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _disk_offsets(dta: int) -> list[tuple[int, int]]:
-    out = []
-    for dy in range(-dta, dta + 1):
-        for dx in range(-dta, dta + 1):
-            if dy * dy + dx * dx <= dta * dta:
-                out.append((dy, dx))
-    return out
+    # identical search neighborhood to the TPU kernel (skimage disk semantics)
+    from pylinac_tpu.ops.gamma import _disk_offsets as kernel_offsets
+
+    return kernel_offsets(dta)
 
 
 def numpy_gamma_2d(reference_u16: np.ndarray, evaluation_u16: np.ndarray) -> np.ndarray:

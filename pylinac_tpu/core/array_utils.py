@@ -58,10 +58,13 @@ def filter(array: np.ndarray, size: float | int = 0.05, kind: str = "median") ->
             size = max(size, 1)
         else:
             raise ValueError("Float was passed but was not between 0 and 1")
+    from ..ops import route
+
     if kind == "median":
-        out = _jf.median_filter(np.asarray(array), int(size))
+        out = _jf.median_filter(route.put(np.asarray(array)), int(size))
     elif kind == "gaussian":
-        out = _jf.gaussian_filter(np.asarray(array, dtype=np.float32), float(size))
+        out = _jf.gaussian_filter(
+            route.put(np.asarray(array, dtype=np.float32)), float(size))
     else:
         raise ValueError(f"Filter type {kind} unsupported. Use 'median' or 'gaussian'")
     return np.asarray(out).astype(array.dtype if kind == "median" else np.float32)

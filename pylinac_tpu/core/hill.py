@@ -33,8 +33,11 @@ class Hill:
 
     @classmethod
     def fit(cls, x_data: np.ndarray, y_data: np.ndarray) -> "Hill":
+        from ..ops import route
+
         params = np.asarray(jopt.hill_fit(
-            jnp.asarray(x_data, jnp.float32), jnp.asarray(y_data, jnp.float32)))
+            route.put(np.asarray(x_data, np.float32)),
+            route.put(np.asarray(y_data, np.float32))))
         return cls(params)
 
     @classmethod

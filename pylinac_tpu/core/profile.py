@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from . import array_utils as utils
 from .geometry import Circle, Point
 from ..ops import filters as jfilt
+from ..ops import route
 from ..ops import interp as jinterp
 from ..ops import optimize as jopt
 from ..ops.gamma import gamma_1d, gamma_geometric
@@ -55,7 +56,8 @@ def _interp1d(xp, fp, kind: str = "linear"):
         return lambda x: _interp_linear_extrap(x, xp, fp)
     elif kind == "cubic":
         return lambda x: np.asarray(jinterp.cubic_spline_interp(
-            jnp.asarray(xp), jnp.asarray(fp), jnp.atleast_1d(jnp.asarray(x, jnp.float32))
+            route.put(xp), route.put(fp),
+            route.put(np.atleast_1d(np.asarray(x, np.float32)))
         )).reshape(np.shape(x))
     raise ValueError(f"Unknown interpolation kind {kind}")
 
@@ -238,7 +240,7 @@ class ProfileBase(ProfileMixin):
 
     def as_resampled(self, interpolation_factor: float = 10, order: int = 3, **kwargs):
         new_y = np.asarray(jinterp.zoom1d(
-            jnp.asarray(self.values, jnp.float32), interpolation_factor, order=order))
+            route.put(np.asarray(self.values, np.float32)), interpolation_factor, order=order))
         new_x = np.linspace(self.x_values.min(), self.x_values.max(), len(new_y))
         return type(self)(values=new_y, x_values=new_x, ground=False,
                           normalization=Normalization.NONE, **kwargs)
@@ -348,7 +350,7 @@ class InflectionDerivativeProfile(ProfileBase):
 
     def field_edge_idx(self, side: str) -> float:
         filtered = np.asarray(jfilt.gaussian_filter1d(
-            jnp.asarray(self.values, jnp.float32),
+            route.put(np.asarray(self.values, np.float32)),
             sigma=self.edge_smoothing_ratio * len(self.values)))
         diff = np.gradient(filtered)
         f = _interp1d(self.x_values, diff, kind="cubic")
@@ -430,10 +432,10 @@ class PhysicalProfileMixin:
         reference.x_values = reference.x_values - reference.geometric_center_idx
         evaluation.x_values = evaluation.x_values - evaluation.geometric_center_idx
         g = np.asarray(gamma_geometric(
-            reference=jnp.asarray(reference.values, jnp.float32),
-            reference_coordinates=jnp.asarray(reference.physical_x_values, jnp.float32),
-            evaluation=jnp.asarray(evaluation.values, jnp.float32),
-            evaluation_coordinates=jnp.asarray(evaluation.physical_x_values, jnp.float32),
+            reference=route.put(np.asarray(reference.values, np.float32)),
+            reference_coordinates=route.put(np.asarray(reference.physical_x_values, np.float32)),
+            evaluation=route.put(np.asarray(evaluation.values, np.float32)),
+            evaluation_coordinates=route.put(np.asarray(evaluation.physical_x_values, np.float32)),
             dose_to_agreement=dose_to_agreement,
             distance_to_agreement=distance_to_agreement,
             gamma_cap_value=gamma_cap_value,
@@ -452,7 +454,7 @@ class PhysicalProfileMixin:
         factor = zoom_factor * (1 if self.dpmm is None else 1)
         # physical profiles resample on the index grid then recompute dpmm
         new_y = np.asarray(jinterp.zoom1d(
-            jnp.asarray(self.values, jnp.float32),
+            route.put(np.asarray(self.values, np.float32)),
             self.dpmm / (1 / interpolation_resolution_mm) ** -1 if False else
             (1 / interpolation_resolution_mm) / self.dpmm, order=order))
         n_new = len(new_y)
@@ -818,7 +820,7 @@ class SingleProfile(ProfileMixin):
             raise ValueError(
                 "FWHM edge method does not have inflection points. Use a different edge detection method")
         d1 = np.gradient(np.asarray(jfilt.gaussian_filter1d(
-            jnp.asarray(self.values, jnp.float32),
+            route.put(np.asarray(self.values, np.float32)),
             sigma=self._edge_smoothing_ratio * len(self.values))))
         peak_idxs, _ = MultiProfile(d1).find_peaks(threshold=0.8)
         valley_idxs, _ = MultiProfile(d1).find_valleys(threshold=0.8)
@@ -968,10 +970,10 @@ class SingleProfile(ProfileMixin):
             raise ValueError(
                 "At least one profile does not have the dpmm attribute. Set it before gamma analysis.")
         g, _, _ = gamma_1d(
-            reference=jnp.asarray(self.values, jnp.float32),
-            evaluation=jnp.asarray(evaluation_profile.values, jnp.float32),
-            reference_coordinates=jnp.asarray(self.x_indices, jnp.float32),
-            evaluation_coordinates=jnp.asarray(evaluation_profile.x_indices, jnp.float32),
+            reference=route.put(np.asarray(self.values, np.float32)),
+            evaluation=route.put(np.asarray(evaluation_profile.values, np.float32)),
+            reference_coordinates=route.put(np.asarray(self.x_indices, np.float32)),
+            evaluation_coordinates=route.put(np.asarray(evaluation_profile.x_indices, np.float32)),
             dose_to_agreement=dose_to_agreement,
             distance_to_agreement=distance_to_agreement,
             gamma_cap_value=gamma_cap_value, global_dose=global_dose,

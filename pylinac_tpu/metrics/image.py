@@ -350,7 +350,8 @@ class GlobalSizedFieldLocator(MetricBase):
         fields: list[Point] = []
         boundaries: list = []
         sample = np.asarray(self.image.array, dtype=np.float32)
-        dev_sample = jnp.asarray(sample)
+        from ..ops import route
+        dev_sample = route.put(sample)
         imin, imax = float(sample.min()), float(sample.max())
         spread = imax - imin
         step_size = spread / 50

@@ -203,7 +203,8 @@ def find_features(
     single-feature finds because it stops dispatching at the first hit.
     """
     sample = stretch(np.asarray(sample, dtype=np.float32), min=0, max=1)
-    dev_sample = jnp.asarray(sample)
+    from ..ops import route
+    dev_sample = route.put(sample)
     imin, imax = float(sample.min()), float(sample.max())
     spread = imax - imin
     step_size = spread / 50
@@ -231,7 +232,7 @@ def find_features(
         if batch_thresholds:
             if step_idx % _CHUNK == 0:  # dispatch the next chunk of thresholds
                 chunk = all_cutoffs[step_idx: step_idx + _CHUNK]
-                batched = _batched_regionprops(dev_sample, jnp.asarray(chunk), K)
+                batched = _batched_regionprops(dev_sample, route.put(chunk), K)
                 chunk_host = jlabel.regions_to_host(batched)
             host_regions = jlabel.Regions(
                 *[f[step_idx % _CHUNK] for f in chunk_host])

@@ -62,6 +62,7 @@ def correlate1d(x: jnp.ndarray, kernel: np.ndarray, axis: int = -1) -> jnp.ndarr
     return jnp.moveaxis(out, -1, axis)
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "axis", "truncate"))
 def gaussian_filter1d(x: jnp.ndarray, sigma: float, axis: int = -1,
                       truncate: float = 4.0) -> jnp.ndarray:
     if sigma <= 0:
@@ -69,6 +70,7 @@ def gaussian_filter1d(x: jnp.ndarray, sigma: float, axis: int = -1,
     return correlate1d(x, gaussian_kernel1d(sigma, truncate), axis=axis)
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "truncate"))
 def gaussian_filter(x: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
     """Separable N-D Gaussian (scipy.ndimage.gaussian_filter semantics)."""
     out = x.astype(jnp.float32)
@@ -90,20 +92,35 @@ def _window_stack(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     return jnp.stack(slices, axis=0)
 
 
+def _platform_of(x) -> str:
+    """Platform an eager input is committed to (default backend otherwise)."""
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+        try:
+            return next(iter(x.devices())).platform
+        except Exception:
+            pass
+    return jax.default_backend()
+
+
 def median_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """N-D median filter with a square footprint (scipy.ndimage.median_filter).
 
-    ``size`` is static. Implemented by stacking the size**ndim shifted copies
-    and taking a median along the window axis — a pure vectorized form that
-    XLA maps onto the VPU; suitable for the small (3–9) kernels QA uses.
+    ``size`` is static. The 3x3 TPU case uses the fused Pallas selection
+    network; otherwise a vectorized stack+sort that XLA maps onto the VPU —
+    suitable for the small (3–9) kernels QA uses.
     """
     if size <= 1:
         return x
-    if size == 3 and x.ndim == 2:
+    if size == 3 and x.ndim == 2 and _platform_of(x) == "tpu":
         from .pallas_median import median3x3, median3x3_supported
 
         if median3x3_supported(x):
             return median3x3(x)
+    return _median_general(x, size)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _median_general(x: jnp.ndarray, size: int) -> jnp.ndarray:
     windows = x[None]
     for ax in range(x.ndim):
         parts = []
@@ -116,6 +133,7 @@ def median_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.sort(windows, axis=0)[w // 2].astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
 def uniform_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """N-D uniform (mean) filter, reflect boundary."""
     if size <= 1:
@@ -134,6 +152,7 @@ _SCHARR_D = np.array([1.0, 0.0, -1.0], dtype=np.float32)
 _SCHARR_S = np.array([3.0, 10.0, 3.0], dtype=np.float32) / 16.0
 
 
+@functools.partial(jax.jit, static_argnames=("axis",))
 def sobel(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """scipy.ndimage.sobel along one axis (derivative on `axis`, smoothing on others)."""
     out = x.astype(jnp.float32)
@@ -150,6 +169,7 @@ def scharr_component(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return out
 
 
+@jax.jit
 def scharr(x: jnp.ndarray) -> jnp.ndarray:
     """Scharr gradient magnitude (skimage.filters.scharr-like) for 2D images."""
     h = scharr_component(x, 0)

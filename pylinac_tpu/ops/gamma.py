@@ -179,14 +179,15 @@ def gamma_geometric(
     eval_x = evaluation_coordinates / distance_to_agreement
 
     # same vertex windowing as the reference: argmin of |eval_x - (ref_x ∓ DTA)|,
-    # expanded by one on each side
+    # expanded by one on each side; for descending coordinates the window
+    # bounds swap in index space — select with where so it traces under jit
     desc = eval_x[-1] < eval_x[0]
     lo_target = ref_x[:, None] - distance_to_agreement
     hi_target = ref_x[:, None] + distance_to_agreement
-    left_diffs = jnp.abs(eval_x[None, :] - lo_target)
-    right_diffs = jnp.abs(eval_x[None, :] - hi_target)
-    if bool(desc):
-        left_diffs, right_diffs = right_diffs, left_diffs
+    lo_diffs = jnp.abs(eval_x[None, :] - lo_target)
+    hi_diffs = jnp.abs(eval_x[None, :] - hi_target)
+    left_diffs = jnp.where(desc, hi_diffs, lo_diffs)
+    right_diffs = jnp.where(desc, lo_diffs, hi_diffs)
     left_idx = jnp.maximum(jnp.argmin(left_diffs, axis=1) - 1, 0)
     right_idx = jnp.minimum(jnp.argmin(right_diffs, axis=1) + 1, m - 1)
 

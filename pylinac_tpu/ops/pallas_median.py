@@ -73,5 +73,7 @@ def median3x3(x: jnp.ndarray) -> jnp.ndarray:
     Caller must check :func:`median3x3_supported` first. Preserves dtype by
     computing in the input's own dtype (min/max are exact for ints too).
     """
-    interpret = jax.default_backend() != "tpu"
+    from .filters import _platform_of
+
+    interpret = _platform_of(x) != "tpu"
     return _median3x3_f32(jnp.asarray(x), interpret)

@@ -198,6 +198,18 @@ def _unpack_peaks(packed: np.ndarray, K: int) -> PeakResult:
     return PeakResult(*fields)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "max_number", "sort_key"))
+def _find_peaks_packed(v, K, rel_height, height, distance, min_width,
+                       required_prominence, max_number, sort_key):
+    """Full find-peaks query (analysis + top-N select + pack) as ONE jitted
+    dispatch — host callers pay a single device round trip per query."""
+    res = peak_analysis(v, K=K, rel_height=rel_height, height=height,
+                        distance=distance, min_width=min_width,
+                        required_prominence=required_prominence)
+    res = select_top(res, max_number, sort_key)
+    return _pack_peaks(res)
+
+
 # --------------------------------------------------------------------------
 # Host-facing wrapper with the reference's argument semantics
 # --------------------------------------------------------------------------
@@ -233,14 +245,17 @@ def find_peaks(
     # (keeps the jit cache bounded to a few K buckets). The result comes back
     # as ONE flattened float32 transfer — integer/bool arrays and multi-dim
     # float arrays fetch one element/row per round trip on remote transports.
+    from . import route
+
+    trimmed_dev = route.put(trimmed)
     while True:
-        res_dev = peak_analysis(
-            jnp.asarray(trimmed), K=K, rel_height=1 - fwxm_height,
-            height=threshold, distance=float(peak_separation), min_width=float(min_width),
+        packed = np.asarray(_find_peaks_packed(
+            trimmed_dev, K=K, rel_height=1 - fwxm_height,
+            height=float(threshold), distance=float(peak_separation),
+            min_width=float(min_width),
             required_prominence=required_prominence,
-        )
-        res_dev = select_top(res_dev, max_number, peak_sort)
-        packed = np.asarray(_pack_peaks(res_dev))
+            max_number=max_number, sort_key=peak_sort,
+        ))
         if not bool(packed[-1]) or K >= len(trimmed):
             break
         K = min(K * 4, max(len(trimmed), 1))

@@ -99,12 +99,6 @@ def relative_resolution(spacings: jnp.ndarray, norm_mtfs: jnp.ndarray, x: float 
     return res
 
 
-def moments_mtf(lsf: jnp.ndarray, spacings: jnp.ndarray) -> jnp.ndarray:
-    """Placeholder for Hander-method moment MTF — implemented in the nuclear
-    module where the exact sampling context lives."""
-    raise NotImplementedError
-
-
 def esf_to_mtf(esf: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Edge-spread function → LSF → normalized MTF (reference ``core/mtf.py:448``).
 

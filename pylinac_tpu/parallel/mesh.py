@@ -33,12 +33,21 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def sharded_batch_metrics(images: jnp.ndarray, mesh: Mesh):
+def sharded_batch_metrics(images: jnp.ndarray, mesh: Mesh,
+                          n_valid: int | None = None):
     """Run the fused field pipeline data-parallel over the mesh.
 
     Returns (per-image metrics, global mean field width) — the global stat is
     produced with a psum inside shard_map so the collective rides ICI.
+
+    ``n_valid`` is the true image count when the batch was zero-padded to a
+    device-count multiple; padded entries are masked out of the global mean.
     """
+    n_total = images.shape[0]
+    if n_valid is None:
+        n_valid = n_total
+    n_dev = len(mesh.devices.ravel())
+    per_shard = n_total // n_dev
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -47,10 +56,12 @@ def sharded_batch_metrics(images: jnp.ndarray, mesh: Mesh):
     )
     def _run(local_images):
         local = jax.vmap(image_field_metrics)(local_images.astype(jnp.float32))
-        local_sum = jnp.sum(local["vertical"].field_width_px, keepdims=True)
-        total = jax.lax.psum(local_sum, axis_name="data")
-        n_total = images.shape[0]
-        return local, total / n_total
+        global_idx = (jax.lax.axis_index("data") * per_shard
+                      + jnp.arange(per_shard))
+        width = jnp.where(global_idx < n_valid,
+                          local["vertical"].field_width_px, 0.0)
+        total = jax.lax.psum(jnp.sum(width, keepdims=True), axis_name="data")
+        return local, total / n_valid
 
     sharded = jax.device_put(images, NamedSharding(mesh, P("data")))
     return jax.jit(_run)(sharded)
@@ -133,7 +144,8 @@ class QABatchRunner:
             batch = np.zeros((pad_n, bh, bw), np.float32)
             batch[:n, :h, :w] = images
         with profiling.stage("sharded_compute"):
-            metrics, mean_width = sharded_batch_metrics(jnp.asarray(batch), self.mesh)
+            metrics, mean_width = sharded_batch_metrics(
+                jnp.asarray(batch), self.mesh, n_valid=n)
             jax.block_until_ready(metrics)
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], metrics), float(
             np.asarray(mean_width)[0])

@@ -275,8 +275,9 @@ class Starshot(ResultsDataMixin[StarshotResults], QuaacMixin):
         p2 = np.array([[l.point2.x, l.point2.y] for l in self.lines], np.float32)
         d = p2 - p1
         d /= np.linalg.norm(d, axis=1, keepdims=True)
-        p1j = jnp.asarray(p1)
-        dj = jnp.asarray(d)
+        from .ops import route
+        p1j = route.put(p1)
+        dj = route.put(d)
 
         def max_distance(p):
             w = p[None, :] - p1j

@@ -186,7 +186,13 @@ class VMATBase(ABC, ResultsDataMixin[VMATResult], QuaacMixin):
             self.open_image, self.dmlc_image = self.dmlc_image, self.open_image
         self._tolerance = tolerance / 100
         self.roi_config = roi_config
-        self.ratio_image = self.dmlc_image.array / self.open_image.array
+        # guard zero-valued open pixels (outside the field) so the divide
+        # doesn't emit RuntimeWarnings that leak into captured results;
+        # segments only ever sample in-field where open dose is nonzero
+        open_arr = self.open_image.array
+        self.ratio_image = np.divide(
+            self.dmlc_image.array, open_arr,
+            out=np.zeros_like(open_arr, dtype=float), where=open_arr != 0)
         self._calculate_segments(segment_size_mm)
         self._update_r_corrs()
 

@@ -44,5 +44,8 @@ def test_batch_runner_heterogeneous_padding(mesh):
     runner = QABatchRunner(mesh)
     metrics, mean_width = runner.run(imgs)
     # 5 images padded to 8 (devices) and 128x256 (bucket); results unpadded
-    assert np.asarray(metrics["vertical"].field_width_px).shape[0] == 5
-    assert mean_width > 0
+    widths = np.asarray(metrics["vertical"].field_width_px)
+    assert widths.shape[0] == 5
+    # the global psum mean must exclude the 3 zero-padded images
+    assert mean_width == pytest.approx(float(widths.mean()), rel=1e-5)
+    assert mean_width == pytest.approx(40.0, abs=2)
