@@ -94,6 +94,7 @@ def _decode_native(buf: np.ndarray, lut: np.ndarray, width: int,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(buf.nbytes),
         lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(lut.nbytes),
         ctypes.c_int64(width), ctypes.c_int64(height),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )

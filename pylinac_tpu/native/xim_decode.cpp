@@ -15,15 +15,17 @@
 
 extern "C" {
 
-// Returns 0 on success, -1 if the buffer ran short.
+// Returns 0 on success, -1 if the diff buffer ran short, -2 if the packed
+// lookup table is smaller than the diff count requires (truncated file).
 // lut: packed 2-bit codes (4 per byte) for the n_diffs diffs.
 // buf: (W+1)*4 seed bytes followed by the variable-length diffs.
 // out: H*W int32 pixels.
 int xim_decode(const uint8_t* buf, int64_t buf_len, const uint8_t* lut,
-               int64_t width, int64_t height, int32_t* out) {
+               int64_t lut_len, int64_t width, int64_t height, int32_t* out) {
     const int64_t n = width * height;
     const int64_t n_seed = width + 1;
     if (buf_len < n_seed * 4) return -1;
+    if (lut_len * 4 < n - n_seed) return -2;
     std::memcpy(out, buf, n_seed * 4);  // little-endian int32 seeds
 
     const uint8_t* p = buf + n_seed * 4;

@@ -1,0 +1,286 @@
+"""Fully-jitted picket fence pipeline: whole-image-batch MLC analysis.
+
+The reference analyzes one image at a time with a Python loop of scipy calls
+per leaf-kiss window (``/root/reference/pylinac/picketfence.py:636,1605``).
+Here the ENTIRE analysis — picket peak finding on the mean profile, window
+extraction for every (leaf, picket) kiss, masked median profiles, validity
+tests, FWXM positions, per-picket line fits, and leaf errors — is one jitted
+XLA computation mapped over an image batch. A QA session's worth of picket
+fence images runs in a single device dispatch.
+
+Canonical orientation is UP-DOWN (pickets along columns, leaves along rows);
+the host API transposes LEFT-RIGHT images before staging the batch.
+
+Numerics mirror ``pylinac_tpu.picketfence.PicketFence.analyze`` step for
+step (same peak kernel, same window truncation arithmetic, same zero-pad
+normalization) so batch results match the single-image path to float32
+precision.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .peaks import peak_analysis, select_top
+
+
+class PFLeafConfig(NamedTuple):
+    """Static-per-batch leaf window geometry (device arrays, shared by every
+    image in the batch — same shape, dpmm, and MLC model)."""
+
+    tops: jnp.ndarray         # (L,) int32 window top row (incl.)
+    heights: jnp.ndarray      # (L,) int32 window row count
+    centers_px: jnp.ndarray   # (L,) f32 leaf center row (px)
+    widths_px: jnp.ndarray    # (L,) f32 leaf width (px)
+
+
+class PFParams(NamedTuple):
+    """Traced analysis parameters (shared across the batch)."""
+
+    height_threshold: jnp.ndarray   # scalar f32
+    edge_threshold: jnp.ndarray
+    required_prominence: jnp.ndarray
+    fwxm: jnp.ndarray               # e.g. 50.0
+    dpmm: jnp.ndarray
+    cax_col: jnp.ndarray            # image center column ((W/2) - 0.5)
+    analysis_ratio: jnp.ndarray     # leaf_analysis_width_ratio
+    nominal_gap_px: jnp.ndarray     # nominal_gap_mm / 2 * dpmm (separate leaves)
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """np.median over the masked entries along the LAST axis
+    (count-dependent middle pair, matching numpy)."""
+    big = jnp.asarray(jnp.inf, values.dtype)
+    filled = jnp.where(mask, values, big)
+    s = jnp.sort(filled, axis=-1)
+    cnt = jnp.sum(mask, axis=-1)
+    lo = jnp.maximum((cnt - 1) // 2, 0)
+    hi = jnp.maximum(cnt // 2, 0)
+    a = jnp.take_along_axis(s, lo[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(s, hi[..., None], axis=-1)[..., 0]
+    return (a + b) / 2.0
+
+
+def _compact_valid(values: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Move valid entries to the front preserving order; tail is +inf."""
+    K = values.shape[0]
+    big = jnp.asarray(jnp.inf, values.dtype)
+    key = jnp.where(valid, jnp.arange(K), K + jnp.arange(K))
+    order = jnp.argsort(key)
+    n = jnp.sum(valid)
+    out = jnp.where(jnp.arange(K) < n, values[order], big)
+    return out, n
+
+
+def _fit_line(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted least-squares line y = a*x + b (centered for f32 stability).
+    Returns (a, b); zero-weight-safe."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    xm = jnp.sum(w * x) / wsum
+    ym = jnp.sum(w * y) / wsum
+    dx = x - xm
+    var = jnp.sum(w * dx * dx)
+    cov = jnp.sum(w * dx * (y - ym))
+    a = jnp.where(var > 1e-12, cov / jnp.maximum(var, 1e-12), 0.0)
+    return jnp.stack([a, ym - a * xm])
+
+
+def picket_fence_image(
+    img: jnp.ndarray,
+    cfg: PFLeafConfig,
+    params: PFParams,
+    *,
+    K_P: int,
+    W_MAX: int,
+    H_MAX: int,
+    KISS_K: int = 8,
+    num_pickets: int | None = None,
+    peak_sort: str = "peak_heights",
+    separate_leaves: bool = False,
+    min_distance_frac: float = 0.02,
+) -> dict:
+    """Analyze ONE picket-fence image; pure jax, jit/vmap/map-friendly.
+
+    Returns fixed-shape arrays; invalid kiss/picket slots carry masks.
+    """
+    H, W = img.shape
+    L = cfg.tops.shape[0]
+    img = img.astype(jnp.float32)
+
+    # ---- picket peaks on the normalized mean leaf profile ------------------
+    leaf_prof = jnp.mean(img, axis=0)
+    leaf_prof = leaf_prof / jnp.max(leaf_prof)
+    vmin, vmax = jnp.min(leaf_prof), jnp.max(leaf_prof)
+    height_abs = vmin + params.height_threshold * (vmax - vmin)
+    sep = max(int(min_distance_frac * W), 1)
+    res = peak_analysis(leaf_prof, K=K_P, rel_height=0.5, height=height_abs,
+                        distance=float(sep),
+                        required_prominence=params.required_prominence)
+    res = select_top(res, num_pickets, peak_sort)
+    fwxm_idx = jnp.round(res.left_ips + (res.right_ips - res.left_ips) / 2
+                         ).astype(jnp.int32)
+    fwxm_idx = jnp.clip(fwxm_idx, 0, W - 1)
+    picket_valid = res.valid
+    picket_vals = leaf_prof[fwxm_idx]
+    n_pickets = jnp.sum(picket_valid)
+
+    # picket spacing: median diff of the sorted valid fwxm indices
+    sorted_idx, n_valid = _compact_valid(fwxm_idx.astype(jnp.float32), picket_valid)
+    diffs = sorted_idx[1:] - sorted_idx[:-1]
+    diff_ok = jnp.arange(K_P - 1) < (n_valid - 1)
+    spacing = _masked_median(jnp.where(diff_ok, diffs, 0.0), diff_ok)
+    spacing = jnp.where(n_valid > 1, spacing, jnp.float32(W_MAX))
+
+    # ---- kiss windows: (L, K_P) grid ---------------------------------------
+    approx = fwxm_idx.astype(jnp.float32)                       # (K_P,)
+    left_edge = jnp.maximum((approx - spacing / 2).astype(jnp.int32), 0)
+    right_edge = jnp.minimum((approx + spacing / 2).astype(jnp.int32), W)
+    offset = jnp.maximum(approx - spacing / 2, 0.0)             # float, host parity
+
+    col_ar = jnp.arange(W_MAX)
+    cols = left_edge[:, None] + col_ar[None, :]                 # (K_P, W_MAX)
+    cmask = cols < right_edge[:, None]
+    cols_safe = jnp.clip(cols, 0, W - 1)
+
+    row_ar = jnp.arange(H_MAX)
+    rows = cfg.tops[:, None] + row_ar[None, :]                  # (L, H_MAX)
+    rmask = row_ar[None, :] < cfg.heights[:, None]
+    rows_safe = jnp.clip(rows, 0, H - 1)
+
+    # gather all windows: (L, K_P, H_MAX, W_MAX)
+    win = img[rows_safe[:, None, :, None], cols_safe[None, :, None, :]]
+    wmask = rmask[:, None, :, None] & cmask[None, :, None, :]
+
+    # validity (reference _is_mlc_peak_in_window): per-ROW std across window
+    # columns; max(std) < edge_thr * median(std); max(win) > h_thr * peak_val
+    cnt_c = jnp.maximum(jnp.sum(cmask, axis=1), 1)              # (K_P,)
+    win_c = jnp.where(wmask, win, 0.0)
+    mean_r = jnp.sum(win_c, axis=3) / cnt_c[None, :, None]      # (L, K_P, H_MAX)
+    var_r = jnp.sum(jnp.where(wmask, (win - mean_r[..., None]) ** 2, 0.0),
+                    axis=3) / cnt_c[None, :, None]
+    std_r = jnp.sqrt(var_r)
+    max_std = jnp.max(jnp.where(rmask[:, None, :], std_r, -jnp.inf), axis=2)
+    med_std = _masked_median(std_r, jnp.broadcast_to(rmask[:, None, :], std_r.shape))
+    win_max = jnp.max(jnp.where(wmask, win, -jnp.inf), axis=(2, 3))
+    in_window = ((win_max > params.height_threshold * picket_vals[None, :])
+                 & (max_std < params.edge_threshold * med_std))
+    kiss_valid = in_window & picket_valid[None, :]
+
+    # ---- kiss profiles: masked median over rows, ground, normalize ---------
+    prof = _masked_median(
+        jnp.swapaxes(win, 2, 3),                                 # (L,K_P,W_MAX,H_MAX)
+        jnp.broadcast_to(rmask[:, None, None, :], (L, K_P, W_MAX, H_MAX)))
+    pmin = jnp.min(jnp.where(cmask[None], prof, jnp.inf), axis=2, keepdims=True)
+    prof = jnp.where(cmask[None], prof - pmin, 0.0)
+    pmax = jnp.max(prof, axis=2, keepdims=True)
+    prof = jnp.where(pmax > 0, prof / jnp.maximum(pmax, 1e-20), prof)
+
+    # ---- FWXM of the most prominent peak per kiss ---------------------------
+    def kiss_peak(v):
+        r = peak_analysis(v, K=KISS_K, rel_height=1 - params.fwxm / 100.0)
+        best = jnp.argmax(jnp.where(r.valid, r.prominences, -jnp.inf))
+        return r.left_ips[best], r.right_ips[best]
+
+    l_ips, r_ips = jax.vmap(kiss_peak)(prof.reshape(L * K_P, W_MAX))
+    l_ips = l_ips.reshape(L, K_P)
+    r_ips = r_ips.reshape(L, K_P)
+    width_px = r_ips - l_ips
+
+    if separate_leaves:
+        pos = jnp.stack([l_ips, r_ips], axis=-1) + offset[None, :, None]
+    else:
+        pos = ((l_ips + r_ips) / 2 + offset[None, :])[..., None]  # (L,K_P,1)
+    n_lines = pos.shape[-1]
+
+    # ---- leaf filtering: keep leaves with the median number of kisses ------
+    counts = jnp.sum(kiss_valid, axis=1)
+    leaf_has = counts > 0
+    med_count = _masked_median(counts.astype(jnp.float32), leaf_has)
+    leaf_kept = leaf_has & (counts.astype(jnp.float32) == med_count)
+    any_dropped = jnp.any(leaf_has & ~leaf_kept)
+    kiss_valid = kiss_valid & leaf_kept[:, None]
+
+    # ---- per-picket line fit (reference Picket.get_fit: x=upper marker row,
+    # y=MLC position) ---------------------------------------------------------
+    upper = cfg.centers_px - cfg.widths_px / 2 * params.analysis_ratio  # (L,)
+    x_pts = jnp.broadcast_to(upper[:, None], (L, n_lines))              # (L,n)
+    w_kiss = kiss_valid.astype(jnp.float32)                             # (L,K_P)
+
+    def fit_picket(p):
+        return _fit_line(x_pts.ravel(), pos[:, p, :].ravel(),
+                         jnp.broadcast_to(w_kiss[:, p, None], (L, n_lines)).ravel())
+
+    fits = jax.vmap(fit_picket)(jnp.arange(K_P))                        # (K_P,2)
+
+    # ---- errors: (pos - fit(marker-line center row)) / dpmm ----------------
+    center_row = cfg.centers_px                                          # (L,)
+    picket_at = fits[None, :, 0] * center_row[:, None] + fits[None, :, 1]
+    if separate_leaves:
+        signs = jnp.asarray([-1.0, 1.0])
+        picket_at = picket_at[..., None] + signs * params.nominal_gap_px
+    else:
+        picket_at = picket_at[..., None]
+    errors_mm = (pos - picket_at) / params.dpmm                          # (L,K_P,n)
+
+    # ---- picket summary: skew + distance to CAX ----------------------------
+    mid_idx = int(round(H / 2))
+    dist2cax_mm = (params.cax_col - (fits[:, 0] * mid_idx + fits[:, 1])) / params.dpmm
+
+    return {
+        "n_pickets": n_pickets,
+        "picket_valid": picket_valid,
+        "fwxm_idx": fwxm_idx,
+        "spacing": spacing,
+        "kiss_valid": kiss_valid,
+        "leaf_kept": leaf_kept,
+        "any_dropped": any_dropped,
+        "width_px": width_px,
+        "positions_px": pos,
+        "errors_mm": errors_mm,
+        "fits": fits,
+        "dist2cax_mm": dist2cax_mm,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K_P", "W_MAX", "H_MAX", "KISS_K", "num_pickets",
+                     "peak_sort", "separate_leaves", "chunk"),
+)
+def picket_fence_batch(
+    images: jnp.ndarray,
+    cfg: PFLeafConfig,
+    params: PFParams,
+    *,
+    K_P: int = 16,
+    W_MAX: int = 256,
+    H_MAX: int = 64,
+    KISS_K: int = 8,
+    num_pickets: int | None = None,
+    peak_sort: str = "peak_heights",
+    separate_leaves: bool = False,
+    chunk: int = 4,
+) -> dict:
+    """Analyze a (B, H, W) batch in ONE device dispatch.
+
+    Images are processed in vmapped chunks of ``chunk`` under ``lax.map`` to
+    bound the (L·K_P·H_MAX·W_MAX) window workspace in HBM while keeping the
+    device busy.
+    """
+    B = images.shape[0]
+    single = functools.partial(
+        picket_fence_image, cfg=cfg, params=params, K_P=K_P, W_MAX=W_MAX,
+        H_MAX=H_MAX, KISS_K=KISS_K, num_pickets=num_pickets,
+        peak_sort=peak_sort, separate_leaves=separate_leaves)
+    pad = (-B) % chunk
+    if pad:
+        images = jnp.concatenate([images, images[:pad]], axis=0)
+    chunked = images.reshape(-1, chunk, *images.shape[1:])
+    out = jax.lax.map(jax.vmap(single), chunked)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, *x.shape[2:])[:B], out)

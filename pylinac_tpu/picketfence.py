@@ -849,3 +849,261 @@ class PicketFence(ResultsDataMixin[PFResult], QuaacMixin):
         if notes is not None:
             canvas.add_text(text=notes, location=(2, 4))
         canvas.finish()
+
+
+# ===========================================================================
+# Batched session API: many picket fence images in one device dispatch
+# ===========================================================================
+class PicketFenceBatch:
+    """Analyze a batch of same-geometry picket fence images in ONE device
+    dispatch via the fully-jitted pipeline
+    (:mod:`pylinac_tpu.ops.picket_pipeline`).
+
+    This is the TPU-native replacement for looping ``PicketFence.analyze``
+    over a QA session (reference semantics per image:
+    ``/root/reference/pylinac/picketfence.py:636``). All images must share
+    shape, dpmm, and MLC model; heterogeneous sessions should be bucketed by
+    the caller.
+    """
+
+    def __init__(self, images: Sequence, mlc: MLC | MLCArrangement | str = MLC.MILLENNIUM,
+                 crop_mm: int = 3, filter: int | None = None,
+                 image_kwargs: dict | None = None):
+        self.images: list[PFDicomImage] = []
+        for item in images:
+            if isinstance(item, PFDicomImage):
+                img = item
+            else:
+                img = PFDicomImage(item, crop_mm=crop_mm, **(image_kwargs or {}))
+            if isinstance(filter, int):
+                img.filter(size=filter)
+            img.ground()
+            img.normalize()
+            self.images.append(img)
+        if not self.images:
+            raise ValueError("No images were provided")
+        self.mlc = PicketFence._get_mlc_arrangement(mlc)
+        self._is_analyzed = False
+
+    @staticmethod
+    def _detect_orientation(arr: np.ndarray) -> Orientation:
+        temp = arr.copy()
+        med = np.median(temp)
+        temp[temp < med] = med
+        row_sum = np.sum(temp, 0)
+        col_sum = np.sum(temp, 1)
+        row80, row90 = np.percentile(row_sum, [85, 99])
+        col80, col90 = np.percentile(col_sum, [85, 99])
+        return (Orientation.LEFT_RIGHT if (row90 - row80) < (col90 - col80)
+                else Orientation.UP_DOWN)
+
+    def _leaf_config(self, H: int, dpmm: float, analysis_ratio: float):
+        """Leaf row windows in canonical UP-DOWN orientation (mirrors
+        ``PicketFence._leaves_in_view`` / ``_get_mlc_window``)."""
+        from .ops.picket_pipeline import PFLeafConfig
+
+        pixel_range = H / 2
+        pixel_range -= max(self.mlc.widths[0] * analysis_ratio,
+                           self.mlc.widths[-1] * analysis_ratio) * dpmm
+        leaves, tops, heights, centers, widths = [], [], [], [], []
+        for leaf_num, center, width in zip(self.mlc.leaves, self.mlc.centers,
+                                           self.mlc.widths):
+            if abs(center) >= pixel_range / dpmm:
+                continue
+            c_px = center * dpmm + H / 2
+            w_px = width * dpmm
+            top = max(int(c_px - w_px / 2), 0)
+            bottom = min(int(c_px + w_px / 2), H)
+            leaves.append(leaf_num)
+            tops.append(top)
+            heights.append(bottom - top)
+            centers.append(c_px)
+            widths.append(w_px)
+        cfg = PFLeafConfig(
+            tops=jnp.asarray(tops, jnp.int32),
+            heights=jnp.asarray(heights, jnp.int32),
+            centers_px=jnp.asarray(centers, jnp.float32),
+            widths_px=jnp.asarray(widths, jnp.float32),
+        )
+        return cfg, np.asarray(leaves), max(heights)
+
+    def analyze(self, tolerance: float = 0.5, action_tolerance: float | None = None,
+                num_pickets: int | None = None, invert: bool = False,
+                leaf_analysis_width_ratio: float = 0.4,
+                height_threshold: float = 0.5, edge_threshold: float = 1.5,
+                peak_sort: str = "peak_heights", required_prominence: float = 0.2,
+                fwxm: int = 50, separate_leaves: bool = False,
+                nominal_gap_mm: float = 3,
+                orientation: Orientation | str | None = None,
+                w_max: int | None = None, chunk: int = 4) -> None:
+        """Batch equivalent of :meth:`PicketFence.analyze` (one device
+        dispatch for the whole image set)."""
+        from .ops.picket_pipeline import PFParams, picket_fence_batch
+
+        if action_tolerance is not None and tolerance < action_tolerance:
+            raise ValueError("Tolerance cannot be lower than the action tolerance")
+        self.tolerance = tolerance
+        self.action_tolerance = action_tolerance
+        self.separate_leaves = separate_leaves
+        self._nominal_gap_mm = nominal_gap_mm
+
+        arrays = []
+        self._orientations = []
+        for img in self.images:
+            if invert:
+                img.invert()
+            orient = (convert_to_enum(orientation, Orientation) if orientation
+                      else self._detect_orientation(img.array))
+            self._orientations.append(orient)
+            arr = img.array if orient == Orientation.UP_DOWN else img.array.T
+            arrays.append(np.ascontiguousarray(arr, dtype=np.float32))
+        shapes = {a.shape for a in arrays}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"All images in a batch must share one canonical shape; got {shapes}")
+        dpmms = {round(float(img.dpmm), 6) for img in self.images}
+        if len(dpmms) != 1:
+            raise ValueError(f"All images in a batch must share dpmm; got {dpmms}")
+        dpmm = self.images[0].dpmm
+        H, W = arrays[0].shape
+
+        cfg, self._leaf_nums, h_max = self._leaf_config(
+            H, dpmm, leaf_analysis_width_ratio)
+        # round the window workspace up to lane-friendly multiples
+        H_MAX = -(-h_max // 8) * 8
+        if w_max is None:
+            # estimate picket spacing from the first image's mean profile
+            prof = arrays[0].mean(axis=0)
+            idxs, _ = jpk.find_peaks(
+                prof / prof.max(), threshold=height_threshold,
+                peak_separation=0.02, required_prominence=required_prominence)
+            spacing_est = float(np.median(np.diff(np.sort(idxs)))) if len(idxs) > 1 else W
+            w_max = int(min(-(-int(spacing_est + 2) // 64) * 64, W))
+        batch = jnp.asarray(np.stack(arrays))
+        params = PFParams(
+            height_threshold=jnp.float32(height_threshold),
+            edge_threshold=jnp.float32(edge_threshold),
+            required_prominence=jnp.float32(required_prominence),
+            fwxm=jnp.float32(fwxm),
+            dpmm=jnp.float32(dpmm),
+            cax_col=jnp.float32(W / 2 - 0.5),
+            analysis_ratio=jnp.float32(leaf_analysis_width_ratio),
+            nominal_gap_px=jnp.float32(nominal_gap_mm / 2 * dpmm),
+        )
+        out = picket_fence_batch(
+            batch, cfg, params, K_P=16, W_MAX=w_max, H_MAX=H_MAX,
+            num_pickets=num_pickets, peak_sort=peak_sort,
+            separate_leaves=separate_leaves, chunk=min(chunk, len(arrays)))
+        self._out = {k: np.asarray(v) for k, v in out.items()}
+        if not self._out["kiss_valid"].any():
+            raise ValueError(
+                "No MLC measurements were found in the batch. This may be due to "
+                "an incorrect inversion (try invert=True) or orientation.")
+        self._dpmm = float(dpmm)
+        self._is_analyzed = True
+
+    # -- result construction -------------------------------------------------
+    def results_data(self, as_dict: bool = False, as_json: bool = False):
+        """Per-image :class:`PFResult` list built from the device arrays."""
+        if not self._is_analyzed:
+            raise ValueError("The batch has not been analyzed. Use .analyze() first.")
+        results = [self._image_result(i) for i in range(len(self.images))]
+        if as_dict:
+            return [r.model_dump() for r in results]
+        if as_json:
+            return [r.model_dump_json() for r in results]
+        return results
+
+    def _image_result(self, i: int) -> PFResult:
+        o = self._out
+        valid = o["kiss_valid"][i]                      # (L, K_P)
+        picket_valid = o["picket_valid"][i]             # (K_P,)
+        if not picket_valid.any():
+            raise ValueError(
+                f"No pickets were found in image {i}. Try passing the correct "
+                "orientation or invert=True.")
+        errors = o["errors_mm"][i]                      # (L, K_P, n)
+        pos_px = o["positions_px"][i]
+        widths_mm = o["width_px"][i] / self._dpmm
+        dist2cax = o["dist2cax_mm"][i]
+        fits = o["fits"][i]
+        picket_slots = np.nonzero(picket_valid)[0]      # found order = index order
+        n_lines = errors.shape[-1]
+
+        line_valid = np.repeat(valid[..., None], n_lines, axis=-1)
+        abs_err = np.abs(errors)
+        flat_err = abs_err[line_valid]
+        passed_lines = abs_err[line_valid] < self.tolerance
+        percent_passing = float(100 * passed_lines.sum() / passed_lines.size)
+        max_error = float(flat_err.max())
+        l_i, p_i, s_i = np.unravel_index(
+            np.argmax(np.where(line_valid, abs_err, -1.0)), abs_err.shape)
+        max_error_picket = int(np.searchsorted(picket_slots, p_i))
+        leaf_num = int(self._leaf_nums[l_i])
+        if self.separate_leaves:
+            max_error_leaf = f"{(LEFT_MLC_PREFIX, RIGHT_MLC_PREFIX)[s_i]}{leaf_num}"
+        else:
+            max_error_leaf = leaf_num
+
+        offsets = [float(dist2cax[p]) for p in picket_slots]
+        sorted_off = np.sort(offsets)
+        mean_spacing = (float(np.mean(np.abs(np.diff(sorted_off))))
+                        if len(offsets) > 1 else 0.0)
+        skew = float(np.mean([np.rad2deg(fits[p, 0]) for p in picket_slots]))
+
+        picket_widths = {}
+        for rank, p in enumerate(picket_slots):
+            w = widths_mm[valid[:, p], p]
+            picket_widths[f"picket_{rank}"] = {
+                "max": float(w.max()), "mean": float(w.mean()),
+                "median": float(np.median(w)), "min": float(w.min())}
+
+        cax_physical = (self.images[i].shape[1 if self._orientations[i] == Orientation.UP_DOWN else 0] / 2 - 0.5) / self._dpmm
+        positions_by_leaf: dict[str, list[float]] = {}
+        errors_by_leaf: dict[str, list[float]] = {}
+        failed: list = []
+        for li, leaf in enumerate(self._leaf_nums):
+            if not valid[li].any():
+                continue
+            names = ([f"{LEFT_MLC_PREFIX}{leaf}", f"{RIGHT_MLC_PREFIX}{leaf}"]
+                     if self.separate_leaves else [int(leaf)])
+            for s, name in enumerate(names):
+                positions_by_leaf[str(name)] = [
+                    cax_physical - pos_px[li, p, s] / self._dpmm
+                    for p in picket_slots if valid[li, p]]
+                errors_by_leaf[str(name)] = [
+                    float(errors[li, p, s]) for p in picket_slots if valid[li, p]]
+                if any(abs(errors[li, p, s]) >= self.tolerance
+                       for p in picket_slots if valid[li, p]):
+                    failed.append(name)
+
+        return PFResult(
+            tolerance_mm=self.tolerance,
+            action_tolerance_mm=self.action_tolerance,
+            percent_leaves_passing=percent_passing,
+            number_of_pickets=len(picket_slots),
+            absolute_median_error_mm=float(np.median(flat_err)),
+            max_error_mm=max_error,
+            max_error_picket=max_error_picket,
+            max_error_leaf=max_error_leaf,
+            mean_picket_spacing_mm=mean_spacing,
+            offsets_from_cax_mm=offsets,
+            passed=bool(max_error < self.tolerance),
+            failed_leaves=failed,
+            mlc_skew=skew,
+            picket_widths=picket_widths,
+            mlc_positions_by_leaf=dict(sorted(positions_by_leaf.items())),
+            mlc_errors_by_leaf=dict(sorted(errors_by_leaf.items())),
+            cax=self.images[i].center.dict(),
+        )
+
+
+def analyze_batch(images: Sequence, mlc: MLC | MLCArrangement | str = MLC.MILLENNIUM,
+                  **analyze_kwargs) -> list[PFResult]:
+    """One-shot batched picket fence analysis: load, analyze (single device
+    dispatch), and return per-image :class:`PFResult`."""
+    init_keys = ("crop_mm", "filter", "image_kwargs")
+    init_kwargs = {k: analyze_kwargs.pop(k) for k in init_keys if k in analyze_kwargs}
+    batch = PicketFenceBatch(images, mlc=mlc, **init_kwargs)
+    batch.analyze(**analyze_kwargs)
+    return batch.results_data()
