@@ -606,3 +606,188 @@ class DeviceFieldAnalysis(FieldAnalysis):
             edge_detection_method=self.horiz_profile._edge_method.value,
             protocol_results=self._extra_results,
         )
+
+
+# ===========================================================================
+# Batched session API: many open-field images in one device dispatch
+# ===========================================================================
+class FieldAnalysisBatch:
+    """Analyze a batch of same-geometry open-field images in ONE device
+    dispatch via the fully-fused pipeline
+    (:mod:`pylinac_tpu.ops.field_pipeline`).
+
+    TPU-native replacement for looping ``FieldAnalysis.analyze`` over a QA
+    session (reference per-image semantics:
+    ``/root/reference/pylinac/field_analysis.py:565``). All images must
+    share shape and dpmm. Supports FWHM and INFLECTION_DERIVATIVE edge
+    methods with LINEAR interpolation; for INFLECTION_HILL or cubic
+    interpolation use the single-image class.
+    """
+
+    def __init__(self, images, filter: int | None = None,
+                 image_kwargs: dict | None = None):
+        self.images = []
+        for item in images:
+            img = image.load(item, **(image_kwargs or {}))
+            if filter:
+                img.filter(size=filter)
+            img.check_inversion_by_histogram()
+            self.images.append(img)
+        if not self.images:
+            raise ValueError("No images were provided")
+        self._is_analyzed = False
+
+    def analyze(self, protocol: Protocol = Protocol.VARIAN,
+                centering: Centering | str = Centering.BEAM_CENTER,
+                vert_position: float = 0.5, horiz_position: float = 0.5,
+                vert_width: float = 0, horiz_width: float = 0,
+                in_field_ratio: float = 0.8, slope_exclusion_ratio: float = 0.2,
+                invert: bool = False, is_FFF: bool = False,
+                penumbra: tuple[float, float] = (20, 80),
+                interpolation: Interpolation | str | None = Interpolation.LINEAR,
+                interpolation_resolution_mm: float = 0.1, ground: bool = True,
+                normalization_method: Normalization | str = Normalization.BEAM_CENTER,
+                edge_detection_method: Edge | str = Edge.INFLECTION_DERIVATIVE,
+                edge_smoothing_ratio: float = 0.003, **kwargs) -> None:
+        """Batch equivalent of :meth:`FieldAnalysis.analyze` (one device
+        dispatch for the whole image set)."""
+        import jax.numpy as jnp
+
+        from .ops.field_pipeline import FAParams, field_analysis_batch
+
+        edge = convert_to_enum(edge_detection_method, Edge)
+        interpolation = convert_to_enum(interpolation, Interpolation)
+        normalization = convert_to_enum(normalization_method, Normalization)
+        centering = convert_to_enum(centering, Centering)
+        if edge == Edge.INFLECTION_HILL:
+            raise ValueError(
+                "INFLECTION_HILL is not supported in batch mode; use FieldAnalysis")
+        if interpolation != Interpolation.LINEAR:
+            raise ValueError(
+                "Batch mode requires LINEAR interpolation; use FieldAnalysis")
+        if is_FFF and edge == Edge.FWHM:
+            warnings.warn(
+                "Using FWHM for an FFF beam is not advised. Consider using "
+                "INFLECTION_DERIVATIVE or INFLECTION_HILL")
+
+        shapes = {img.shape for img in self.images}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"All images in a batch must share one shape; got {shapes}")
+        dpmms = {round(float(img.dpmm), 6) for img in self.images}
+        if len(dpmms) != 1:
+            raise ValueError(f"All images in a batch must share dpmm; got {dpmms}")
+        dpmm = float(self.images[0].dpmm)
+        H, W = self.images[0].shape
+
+        self._protocol = protocol
+        self._centering = centering
+        self._edge = edge
+        self._interp = interpolation
+        self._norm = normalization
+
+        flat_name, sym_name = {
+            Protocol.VARIAN: ("difference", "point difference"),
+            Protocol.ELEKTA: ("ratio", "pdq"),
+            Protocol.SIEMENS: ("difference", "area"),
+            Protocol.NONE: ("difference", "point difference"),
+        }[protocol]
+
+        arrays = np.stack([np.asarray(img.array, np.float32) for img in self.images])
+        if invert:
+            # per-image inversion (max+min-a), matching BaseImage.invert
+            mx = arrays.max(axis=(1, 2), keepdims=True)
+            mn = arrays.min(axis=(1, 2), keepdims=True)
+            arrays = mx + mn - arrays
+        params = FAParams(
+            dpmm=jnp.float32(dpmm),
+            in_field_ratio=jnp.float32(in_field_ratio),
+            slope_exclusion_ratio=jnp.float32(slope_exclusion_ratio),
+            pen_lower=jnp.float32(penumbra[0]),
+            pen_upper=jnp.float32(penumbra[1]),
+            vert_position=jnp.float32(vert_position),
+            horiz_position=jnp.float32(horiz_position),
+            vert_width=jnp.float32(vert_width),
+            horiz_width=jnp.float32(horiz_width),
+        )
+        out = field_analysis_batch(
+            jnp.asarray(arrays), params,
+            samples_v=int(round(H / (dpmm * interpolation_resolution_mm))),
+            samples_h=int(round(W / (dpmm * interpolation_resolution_mm))),
+            edge=edge.value, centering=centering.value,
+            normalization=normalization.value,
+            flatness=flat_name, symmetry=sym_name, ground=ground,
+            edge_smoothing_ratio=edge_smoothing_ratio)
+        import jax
+
+        self._out = jax.tree_util.tree_map(np.asarray, out)
+        self._is_analyzed = True
+
+    def results_data(self, as_dict: bool = False, as_json: bool = False):
+        """Per-image :class:`FieldResult` list from the device arrays."""
+        if not self._is_analyzed:
+            raise NotAnalyzed("The batch is not analyzed. Use analyze() first.")
+        results = [self._image_result(i) for i in range(len(self.images))]
+        if as_dict:
+            return [r.model_dump() for r in results]
+        if as_json:
+            return [r.model_dump_json() for r in results]
+        return results
+
+    def _image_result(self, i: int) -> FieldResult:
+        v = {k: float(a[i]) for k, a in self._out["vert"].items()}
+        h = {k: float(a[i]) for k, a in self._out["horiz"].items()}
+        roi = {k: float(a[i]) for k, a in self._out["central_roi"].items()}
+        extra = {}
+        if self._protocol != Protocol.NONE:
+            for name in self._protocol.value:  # same key order as single path
+                key = "flatness" if name == "flatness" else "symmetry"
+                extra[f"{name}_horizontal"] = h[key]
+                extra[f"{name}_vertical"] = v[key]
+        return FieldResult(
+            protocol=self._protocol.name,
+            protocol_results=extra,
+            centering_method=getattr(self._centering, "value", None),
+            normalization_method=self._norm.value,
+            interpolation_method=self._interp.value,
+            edge_detection_method=self._edge.value,
+            top_penumbra_mm=v["penumbra_left_mm"],
+            bottom_penumbra_mm=v["penumbra_right_mm"],
+            left_penumbra_mm=h["penumbra_left_mm"],
+            right_penumbra_mm=h["penumbra_right_mm"],
+            geometric_center_index_x_y=(h["geometric_center_idx"], v["geometric_center_idx"]),
+            beam_center_index_x_y=(h["beam_center_idx"], v["beam_center_idx"]),
+            field_size_vertical_mm=v["field_size_mm"],
+            field_size_horizontal_mm=h["field_size_mm"],
+            beam_center_to_top_mm=v["bc_to_left_mm"],
+            beam_center_to_bottom_mm=v["bc_to_right_mm"],
+            beam_center_to_left_mm=h["bc_to_left_mm"],
+            beam_center_to_right_mm=h["bc_to_right_mm"],
+            cax_to_top_mm=v["cax_to_left_mm"],
+            cax_to_bottom_mm=v["cax_to_right_mm"],
+            cax_to_left_mm=h["cax_to_left_mm"],
+            cax_to_right_mm=h["cax_to_right_mm"],
+            top_position_index_x_y=(h["top_idx"], v["top_idx"]),
+            top_horizontal_distance_from_cax_mm=h["top_to_cax_mm"],
+            top_vertical_distance_from_cax_mm=v["top_to_cax_mm"],
+            top_horizontal_distance_from_beam_center_mm=h["top_to_bc_mm"],
+            top_vertical_distance_from_beam_center_mm=v["top_to_bc_mm"],
+            left_slope_percent_mm=h["left_slope_pct_mm"],
+            right_slope_percent_mm=h["right_slope_pct_mm"],
+            top_slope_percent_mm=v["left_slope_pct_mm"],
+            bottom_slope_percent_mm=v["right_slope_pct_mm"],
+            central_roi_mean=roi["mean"],
+            central_roi_max=roi["max"],
+            central_roi_min=roi["min"],
+            central_roi_std=roi["std"],
+        )
+
+
+def analyze_field_batch(images, **analyze_kwargs) -> list[FieldResult]:
+    """One-shot batched field analysis: load, analyze (single device
+    dispatch), and return per-image :class:`FieldResult`."""
+    init_keys = ("filter", "image_kwargs")
+    init_kwargs = {k: analyze_kwargs.pop(k) for k in init_keys if k in analyze_kwargs}
+    batch = FieldAnalysisBatch(images, **init_kwargs)
+    batch.analyze(**analyze_kwargs)
+    return batch.results_data()
