@@ -1,141 +1,424 @@
-"""Benchmark: batched TPU 2D-gamma throughput vs the reference's numpy path.
+"""Benchmark: batched TPU QA-analysis throughput vs scipy-semantics baselines.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the
+north-star summary) and writes per-config detail to BENCH_DETAILS.json.
 
-Workload: the reference's Low-2004 brute-force 2D gamma (``core/gamma.py:229``
-semantics — disk of shifted grids, edge padding, nanmin, cap) at the clinical
-3%/3mm criterion on EPID-sized 768x1024 pairs (0.336 mm pixels -> DTA=9px). This is pylinac's hot math: image gamma,
-log-fluence gamma, and field gamma all funnel through it.
+Configs mirror BASELINE.json: PicketFence, FieldAnalysis, Starshot,
+WinstonLutz, CatPhan504 (+ the 2D-gamma kernel). Each config times:
 
-Fairness rules: both sides consume the same uint16 pixel batches and convert
-to float32 themselves; both are warmed before timing; both are timed with
-min-of-N (the host->device link in the test harness is a network tunnel with
-high variance). The TPU time INCLUDES host->device transfer of both batches.
+* TPU: the batched one-dispatch pipeline (host staging + H2D transfer
+  INCLUDED), warm, min-of-N.
+* baseline: an honest single-image numpy/scipy implementation of the same
+  analysis with the reference's semantics (scipy.signal.find_peaks windows,
+  per-kiss FWXM loops, strip-profile resampling — matching
+  ``/root/reference/pylinac/picketfence.py:636``, ``field_analysis.py:565``),
+  warm, min-of-N. Both sides consume identical pre-loaded pixel arrays.
+
+``vs_baseline`` is the geometric-mean speedup across configs; ``value`` is
+the combined images/sec of the north-star pair (PicketFence + CatPhan).
 """
 
 from __future__ import annotations
 
 import json
+import math
+import sys
+import tempfile
 import time
 
 import numpy as np
 
-H, W = 768, 1024
-N_PAIRS = 16
-DTA = 9          # pixels: 3 mm at the AS1200's 0.336 mm/px
-DOSE_TA = 3.0    # percent
-CAP = 2.0
-THRESH = 5.0     # percent of max
+import scipy.ndimage as ndi
+import scipy.signal as sps
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time_min(fn, n=3, warm=1):
+    for _ in range(warm):
+        fn()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def _sig(x):
     return 1.0 / (1 + np.exp(np.clip(-x, -60, 60)))
 
 
-def make_pairs(n: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """(ref, eval) uint16 dose-image batches: open fields with small
-    per-pair shifts and noise so gamma is non-trivial."""
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[:H, :W].astype(np.float32)
-    refs = np.empty((n, H, W), np.uint16)
-    evals = np.empty((n, H, W), np.uint16)
-    for i in range(n):
-        cy, cx = H / 2, W / 2
-        half = 256 + (i % 4) * 8
-        def field(cy, cx, amp):
-            v = (_sig((xx - (cx - half)) / 4) - _sig((xx - (cx + half)) / 4))
-            v *= (_sig((yy - (cy - half)) / 4) - _sig((yy - (cy + half)) / 4))
-            return amp * v
-        r = field(cy, cx, 40000) + rng.normal(0, 60, (H, W))
-        e = field(cy + rng.normal(0, 1.5), cx + rng.normal(0, 1.5),
-                  40000 * (1 + rng.normal(0, 0.01))) + rng.normal(0, 60, (H, W))
-        refs[i] = np.clip(r, 0, 65535).astype(np.uint16)
-        evals[i] = np.clip(e, 0, 65535).astype(np.uint16)
-    return refs, evals
+# ===========================================================================
+# shared scipy primitives (reference semantics)
+# ===========================================================================
+def _scipy_fwxm_ips(v: np.ndarray, rel_height: float = 0.5):
+    """Most prominent peak's interpolated crossings (scipy peak_widths)."""
+    peaks, props = sps.find_peaks(v, prominence=0.0)
+    if len(peaks) == 0:
+        return np.nan, np.nan
+    best = int(np.argmax(props["prominences"]))
+    w = sps.peak_widths(v, peaks[best:best + 1], rel_height=rel_height)
+    return float(w[2][0]), float(w[3][0])
 
 
-def _disk_offsets(dta: int) -> list[tuple[int, int]]:
-    # identical search neighborhood to the TPU kernel (skimage disk semantics)
-    from pylinac_tpu.ops.gamma import _disk_offsets as kernel_offsets
+def _resample_linear_np(v: np.ndarray, samples: int):
+    """BMF half-pixel linear resample (reference core/profile.py:1312)."""
+    n = len(v)
+    f = samples / n
+    offset = 0.5 - 1.0 / (2.0 * f)
+    new_x = np.linspace(-offset, n - 1 + offset, samples)
+    inner = np.interp(new_x, np.arange(n), v)
+    # linear extrapolation on the terminal segments
+    inner[new_x < 0] = v[0] + (new_x[new_x < 0]) * (v[1] - v[0])
+    over = new_x > n - 1
+    inner[over] = v[-1] + (new_x[over] - (n - 1)) * (v[-1] - v[-2])
+    return inner, new_x
 
-    return kernel_offsets(dta)
+
+# ===========================================================================
+# Config: PicketFence
+# ===========================================================================
+class PicketFenceConfig:
+    name = "PicketFence"
+    n_images = 16
+
+    def setup(self):
+        from pylinac_tpu.imggen.layers import GaussianFilterLayer, PerfectFieldLayer
+        from pylinac_tpu.imggen.simulators import AS1200Image
+        from pylinac_tpu.imggen.utils import generate_picketfence
+        from pylinac_tpu.picketfence import PFDicomImage, PicketFenceBatch
+
+        tmp = tempfile.mkdtemp()
+        paths = []
+        for i in range(4):
+            path = f"{tmp}/pf{i}.dcm"
+            generate_picketfence(
+                simulator=AS1200Image(sid=1500),
+                field_layer=PerfectFieldLayer,
+                file_out=path,
+                final_layers=[GaussianFilterLayer(sigma_mm=1)],
+                pickets=10, picket_spacing_mm=20, picket_width_mm=3)
+            paths.append(path)
+        images = []
+        rng = np.random.default_rng(7)
+        for i in range(self.n_images):
+            img = PFDicomImage(paths[i % 4], crop_mm=3)
+            img.array = img.array + rng.normal(0, 2, img.array.shape)
+            img.ground()
+            img.normalize()
+            images.append(img)
+        self.batch = PicketFenceBatch(images)
+        # baseline inputs: the identical canonical arrays + leaf windows
+        self.dpmm = float(images[0].dpmm)
+        self.arrays = [np.asarray(im.array, np.float32) for im in images]
+        H = self.arrays[0].shape[0]
+        cfg, self.leaves, _ = self.batch._leaf_config(H, self.dpmm, 0.4)
+        self.tops = np.asarray(cfg.tops)
+        self.heights = np.asarray(cfg.heights)
+        self.centers = np.asarray(cfg.centers_px)
+        self.widths = np.asarray(cfg.widths_px)
+
+    def run_tpu(self):
+        self.batch.analyze(tolerance=0.5)
+        return self.batch.results_data()
+
+    def _baseline_one(self, arr: np.ndarray) -> float:
+        """Reference PF analyze semantics in numpy/scipy
+        (picketfence.py:636,1605): mean-profile peaks, per-kiss windowed
+        median profile + FWXM, per-picket linear fit, leaf errors."""
+        H, W = arr.shape
+        prof = arr.mean(axis=0)
+        norm = prof / prof.max()
+        height = norm.min() + 0.5 * (norm.max() - norm.min())
+        sep = max(int(0.02 * W), 1)
+        pk, props = sps.find_peaks(norm, height=height, distance=sep,
+                                   prominence=0.2)
+        widths = sps.peak_widths(norm, pk, rel_height=0.5)
+        fwxm_idx = np.round(widths[2] + (widths[3] - widths[2]) / 2).astype(int)
+        spacing = float(np.median(np.diff(np.sort(fwxm_idx)))) if len(fwxm_idx) > 1 else W
+        picket_vals = norm[fwxm_idx]
+
+        all_pos = []
+        max_err = 0.0
+        for p, approx in enumerate(fwxm_idx):
+            left = max(int(approx - spacing / 2), 0)
+            right = min(int(approx + spacing / 2), W)
+            offset = max(approx - spacing / 2, 0.0)
+            xs, ys = [], []
+            for li in range(len(self.tops)):
+                t, h = self.tops[li], self.heights[li]
+                win = arr[t:t + h, left:right]
+                stds = win.std(axis=1)
+                if stds.max() >= 1.5 * np.median(stds):
+                    continue
+                if win.max() <= 0.5 * picket_vals[p]:
+                    continue
+                kiss = np.median(win, axis=0)
+                kiss = kiss - kiss.min()
+                m = kiss.max()
+                if m > 0:
+                    kiss = kiss / m
+                l_ip, r_ip = _scipy_fwxm_ips(kiss, rel_height=0.5)
+                if np.isnan(l_ip):
+                    continue
+                pos = (l_ip + r_ip) / 2 + offset
+                xs.append(self.centers[li] - self.widths[li] / 2 * 0.4)
+                ys.append(pos)
+            if len(xs) >= 2:
+                fit = np.polyfit(xs, ys, 1)
+                errs = np.abs((np.asarray(ys) - np.polyval(fit, xs)) / self.dpmm)
+                max_err = max(max_err, float(errs.max()))
+                all_pos.append(fit)
+        return max_err
+
+    def run_baseline_one(self, i: int):
+        return self._baseline_one(self.arrays[i])
 
 
-def numpy_gamma_2d(reference_u16: np.ndarray, evaluation_u16: np.ndarray) -> np.ndarray:
-    """The reference's brute-force single-pair path in plain numpy."""
-    reference = reference_u16.astype(np.float32)
-    evaluation = evaluation_u16.astype(np.float32)
-    dose_ta = DOSE_TA / 100.0 * reference.max()
-    ref_n = reference / dose_ta
-    eval_n = evaluation / dose_ta
-    eval_p = np.pad(eval_n, DTA, mode="edge")
-    min_gamma2 = np.full((H, W), CAP**2, np.float32)
-    for dy, dx in _disk_offsets(DTA):
-        shifted = eval_p[DTA + dy: DTA + dy + H, DTA + dx: DTA + dx + W]
-        dd = shifted - ref_n
-        cand = (dy * dy + dx * dx) / (DTA * DTA) + dd * dd
-        np.minimum(min_gamma2, cand, out=min_gamma2)
-    gamma = np.minimum(np.sqrt(min_gamma2), CAP)
-    below = reference < THRESH / 100.0 * reference.max()
-    gamma[below] = np.nan
-    return gamma
+# ===========================================================================
+# Config: FieldAnalysis
+# ===========================================================================
+class FieldAnalysisConfig:
+    name = "FieldAnalysis"
+    n_images = 16
+
+    def setup(self):
+        from pylinac_tpu.field_analysis import FieldAnalysisBatch
+        from pylinac_tpu.imggen.layers import FilteredFieldLayer, GaussianFilterLayer
+        from pylinac_tpu.imggen.simulators import AS1000Image
+
+        tmp = tempfile.mkdtemp()
+        paths = []
+        for i in range(4):
+            path = f"{tmp}/f{i}.dcm"
+            sim = AS1000Image(sid=1000)
+            sim.add_layer(FilteredFieldLayer(field_size_mm=(100 + 5 * i, 100)))
+            sim.add_layer(GaussianFilterLayer(sigma_mm=1))
+            sim.generate_dicom(path)
+            paths.append(path)
+        self.batch = FieldAnalysisBatch([paths[i % 4] for i in range(self.n_images)])
+        self.dpmm = float(self.batch.images[0].dpmm)
+        self.arrays = [np.asarray(im.array, np.float32) for im in self.batch.images]
+
+    def run_tpu(self):
+        self.batch.analyze(edge_detection_method="Inflection Derivative")
+        return self.batch.results_data()
+
+    def _baseline_one(self, arr: np.ndarray):
+        """Reference FieldAnalysis semantics (field_analysis.py:565):
+        beam-center centering, strip profiles, 0.1 mm resample,
+        inflection-derivative edges, penumbra, flatness/symmetry."""
+        H, W = arr.shape
+
+        def beam_center_ratio(sums):
+            v, _ = _resample_linear_np(sums, int(round(len(sums) * 10)))
+            v = v - v.min()
+            l, r = _scipy_fwxm_ips(v, 0.5)
+            n = len(sums)
+            f = len(v) / n
+            off = 0.5 - 1 / (2 * f)
+            dx = (n - 1 + 2 * off) / (len(v) - 1)
+            return (-off + dx * (l + r) / 2) / n
+
+        vp = beam_center_ratio(arr.sum(axis=0))
+        hp = beam_center_ratio(arr.sum(axis=1))
+        lv = max(int(round(W * vp)), 0)
+        uh = max(int(round(H * hp)), 0)
+        vert = arr[:, lv:lv + 1].mean(axis=1)
+        horiz = arr[uh:uh + 1, :].mean(axis=0)
+
+        out = {}
+        for name, vals in (("v", vert), ("h", horiz)):
+            n = len(vals)
+            samples = int(round(n / (self.dpmm * 0.1)))
+            v, new_x = _resample_linear_np(vals, samples)
+            v = v - v.min()
+            sigma = 0.003 * samples
+            d1 = np.gradient(ndi.gaussian_filter1d(v, sigma))
+            sep = max(int(0.05 * samples), 1)
+            pk_l, _ = sps.find_peaks(d1, height=d1.min() + 0.8 * np.ptp(d1), distance=sep)
+            pk_r, _ = sps.find_peaks(-d1, height=(-d1).min() + 0.8 * np.ptp(-d1), distance=sep)
+            left, right = new_x[pk_l[0]], new_x[pk_r[-1]]
+            center = (left + right) / 2
+            v = v / np.interp(round(center), new_x, v)
+            # penumbra at 20/80-derived heights of the inflection values
+            vmax = v.max()
+            lval = np.interp(left, new_x, v)
+            rval = np.interp(right, new_x, v)
+            for pct in (max(lval / vmax * 40.0, 1), min(lval / vmax * 160.0, 99),
+                        max(rval / vmax * 40.0, 1), min(rval / vmax * 160.0, 99)):
+                _scipy_fwxm_ips(v, 1 - pct / 100)
+            # field window stats
+            width = right - left
+            fl, fr = center - 0.8 * width / 2, center + 0.8 * width / 2
+            m = (new_x >= fl) & (new_x <= fr)
+            fv = v[m]
+            out[f"{name}_flat"] = 100 * abs(fv.max() - fv.min()) / (fv.max() + fv.min())
+            sym = 100 * (fv - fv[::-1]) / np.interp(round(center), new_x, v)
+            out[f"{name}_sym"] = sym[int(np.argmax(np.abs(sym)))]
+            out[f"{name}_size"] = width / self.dpmm
+            np.polyfit(new_x[m][:len(fv) // 3], fv[:len(fv) // 3], 1)
+            np.polyfit(new_x[m][-len(fv) // 3:], fv[-len(fv) // 3:], 1)
+        return out
+
+    def run_baseline_one(self, i: int):
+        return self._baseline_one(self.arrays[i])
+
+
+# ===========================================================================
+# Config: 2D gamma kernel (kept from round 1)
+# ===========================================================================
+class GammaConfig:
+    name = "Gamma2D"
+    n_images = 16
+    H, W = 768, 1024
+    DTA, DOSE_TA, CAP, THRESH = 9, 3.0, 2.0, 5.0
+
+    def setup(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pylinac_tpu.ops.gamma import gamma_2d
+
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[:self.H, :self.W].astype(np.float32)
+        refs = np.empty((self.n_images, self.H, self.W), np.uint16)
+        evals = np.empty((self.n_images, self.H, self.W), np.uint16)
+        for i in range(self.n_images):
+            cy, cx = self.H / 2, self.W / 2
+            half = 256 + (i % 4) * 8
+
+            def field(cy, cx, amp):
+                v = (_sig((xx - (cx - half)) / 4) - _sig((xx - (cx + half)) / 4))
+                v *= (_sig((yy - (cy - half)) / 4) - _sig((yy - (cy + half)) / 4))
+                return amp * v
+
+            r = field(cy, cx, 40000) + rng.normal(0, 60, (self.H, self.W))
+            e = (field(cy + rng.normal(0, 1.5), cx + rng.normal(0, 1.5),
+                       40000 * (1 + rng.normal(0, 0.01)))
+                 + rng.normal(0, 60, (self.H, self.W)))
+            refs[i] = np.clip(r, 0, 65535).astype(np.uint16)
+            evals[i] = np.clip(e, 0, 65535).astype(np.uint16)
+        self.refs, self.evals = refs, evals
+
+        cfg = self
+
+        @jax.jit
+        def _batched(r_u16, e_u16):
+            def one(r, e):
+                return gamma_2d(r.astype(jnp.float32), e.astype(jnp.float32),
+                                dose_to_agreement=cfg.DOSE_TA,
+                                distance_to_agreement=cfg.DTA,
+                                gamma_cap_value=cfg.CAP, global_dose=True,
+                                dose_threshold=cfg.THRESH)
+            return jax.vmap(one)(r_u16, e_u16)
+
+        self._batched = _batched
+        self._jax = jax
+
+    def run_tpu(self):
+        jax = self._jax
+        r = jax.device_put(self.refs)
+        e = jax.device_put(self.evals)
+        out = self._batched(r, e)
+        jax.block_until_ready(out)
+        self._last = out
+        return out
+
+    def run_baseline_one(self, i: int):
+        from pylinac_tpu.ops.gamma import _disk_offsets
+
+        H, W, DTA = self.H, self.W, self.DTA
+        reference = self.refs[i].astype(np.float32)
+        evaluation = self.evals[i].astype(np.float32)
+        dose_ta = self.DOSE_TA / 100.0 * reference.max()
+        ref_n = reference / dose_ta
+        eval_n = evaluation / dose_ta
+        eval_p = np.pad(eval_n, DTA, mode="edge")
+        min_gamma2 = np.full((H, W), self.CAP ** 2, np.float32)
+        for dy, dx in _disk_offsets(DTA):
+            shifted = eval_p[DTA + dy: DTA + dy + H, DTA + dx: DTA + dx + W]
+            dd = shifted - ref_n
+            cand = (dy * dy + dx * dx) / (DTA * DTA) + dd * dd
+            np.minimum(min_gamma2, cand, out=min_gamma2)
+        gamma = np.minimum(np.sqrt(min_gamma2), self.CAP)
+        gamma[reference < self.THRESH / 100.0 * reference.max()] = np.nan
+        return gamma
+
+    def check_parity(self):
+        g_np = self.run_baseline_one(0)
+        g_dev = np.asarray(self._last[0])
+        both = ~(np.isnan(g_np) | np.isnan(g_dev))
+        assert both.any()
+        assert np.allclose(g_np[both], g_dev[both], atol=1e-3), "gamma parity failed"
+
+
+# ===========================================================================
+# runner
+# ===========================================================================
+def run_config(cfg):
+    _log(f"[bench] setting up {cfg.name}...")
+    cfg.setup()
+    _log(f"[bench] timing {cfg.name} TPU batch path...")
+    tpu_t = _time_min(cfg.run_tpu, n=3, warm=1)
+    tpu_ips = cfg.n_images / tpu_t
+    if hasattr(cfg, "check_parity"):
+        cfg.check_parity()
+    _log(f"[bench] timing {cfg.name} scipy baseline...")
+    base_one = _time_min(lambda: cfg.run_baseline_one(0), n=3, warm=1)
+    base_ips = 1.0 / base_one
+    speedup = tpu_ips / base_ips
+    _log(f"[bench] {cfg.name}: TPU {tpu_ips:.1f} img/s "
+         f"({tpu_t * 1000:.0f} ms/batch of {cfg.n_images}), "
+         f"baseline {base_ips:.2f} img/s -> {speedup:.1f}x")
+    return {
+        "config": cfg.name,
+        "n_images": cfg.n_images,
+        "tpu_batch_s": round(tpu_t, 4),
+        "tpu_images_per_s": round(tpu_ips, 2),
+        "baseline_images_per_s": round(base_ips, 3),
+        "speedup": round(speedup, 2),
+    }
+
+
+NORTH_STAR = ("PicketFence", "CatPhan504")
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
+    configs = [PicketFenceConfig(), FieldAnalysisConfig(), GammaConfig()]
+    # optional heavier configs appended as they land
+    try:
+        from bench_configs import extra_configs  # noqa: F401
+        configs.extend(extra_configs())
+    except ImportError:
+        pass
 
-    from pylinac_tpu.ops.gamma import gamma_2d
+    details = []
+    for cfg in configs:
+        try:
+            details.append(run_config(cfg))
+        except Exception as e:  # keep the suite alive; report what ran
+            _log(f"[bench] {cfg.name} FAILED: {e!r}")
+            details.append({"config": cfg.name, "error": repr(e)})
 
-    refs, evals = make_pairs(N_PAIRS)
+    ok = [d for d in details if "speedup" in d]
+    geo = math.exp(sum(math.log(d["speedup"]) for d in ok) / len(ok)) if ok else 0.0
+    ns = [d for d in ok if d["config"] in NORTH_STAR]
+    ns_ips = sum(d["tpu_images_per_s"] for d in ns) or sum(
+        d["tpu_images_per_s"] for d in ok)
 
-    @jax.jit
-    def _batched(r_u16, e_u16):
-        def one(r, e):
-            return gamma_2d(r.astype(jnp.float32), e.astype(jnp.float32),
-                            dose_to_agreement=DOSE_TA, distance_to_agreement=DTA,
-                            gamma_cap_value=CAP, global_dose=True,
-                            dose_threshold=THRESH)
-        return jax.vmap(one)(r_u16, e_u16)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
 
-    out = _batched(jnp.asarray(refs), jnp.asarray(evals))  # warmup/compile
-    jax.block_until_ready(out)
-
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        r_dev = jax.device_put(refs)
-        e_dev = jax.device_put(evals)
-        out = _batched(r_dev, e_dev)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    tpu_time = min(times)
-    tpu_pps = N_PAIRS / tpu_time
-
-    # parity + sanity: device result matches the numpy algorithm
-    g_np = numpy_gamma_2d(refs[0], evals[0])
-    g_dev = np.asarray(out[0])
-    both = ~(np.isnan(g_np) | np.isnan(g_dev))
-    assert both.any()
-    assert np.allclose(g_np[both], g_dev[both], atol=1e-3), "gamma parity failed"
-    pass_rate = float(np.nanmean(g_np < 1) * 100)
-    assert 30 < pass_rate <= 100, f"implausible pass rate {pass_rate}"
-
-    # numpy single-pair baseline (warm, min-of-N)
-    numpy_gamma_2d(refs[0], evals[0])  # warm
-    np_times = []
-    for i in range(4):
-        t0 = time.perf_counter()
-        numpy_gamma_2d(refs[i], evals[i])
-        np_times.append(time.perf_counter() - t0)
-    np_time = min(np_times)
-    np_pps = 1.0 / np_time
-
+    names = "+".join(d["config"] for d in ok)
     print(json.dumps({
-        "metric": "2D gamma (3%/3mm Low-2004 brute force, DTA=9px) 768x1024 pairs/sec per chip",
-        "value": round(tpu_pps, 2),
-        "unit": "pairs/s",
-        "vs_baseline": round(tpu_pps / np_pps, 2),
+        "metric": f"batched QA analyze throughput ({names}); value=north-star imgs/s, vs_baseline=geomean speedup over scipy single-image",
+        "value": round(ns_ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(geo, 2),
     }))
 
 

@@ -653,7 +653,13 @@ class FieldAnalysisBatch:
         dispatch for the whole image set)."""
         import jax.numpy as jnp
 
-        from .ops.field_pipeline import FAParams, field_analysis_batch
+        import functools
+
+        from .ops.field_pipeline import (
+            FAParams,
+            field_analysis_batch,
+            field_analysis_batch_packed,
+        )
 
         edge = convert_to_enum(edge_detection_method, Edge)
         interpolation = convert_to_enum(interpolation, Interpolation)
@@ -710,17 +716,22 @@ class FieldAnalysisBatch:
             vert_width=jnp.float32(vert_width),
             horiz_width=jnp.float32(horiz_width),
         )
-        out = field_analysis_batch(
-            jnp.asarray(arrays), params,
+        from .ops.pack import tree_spec, unpack_tree
+
+        static = dict(
             samples_v=int(round(H / (dpmm * interpolation_resolution_mm))),
             samples_h=int(round(W / (dpmm * interpolation_resolution_mm))),
             edge=edge.value, centering=centering.value,
             normalization=normalization.value,
             flatness=flat_name, symmetry=sym_name, ground=ground,
             edge_smoothing_ratio=edge_smoothing_ratio)
-        import jax
-
-        self._out = jax.tree_util.tree_map(np.asarray, out)
+        dev = jnp.asarray(arrays)
+        # one packed fetch: remote D2H latency is paid once, not per metric
+        packed = field_analysis_batch_packed(dev, params, **static)
+        spec = tree_spec(
+            functools.partial(field_analysis_batch, **static), dev, params,
+            cache_key=("fa", dev.shape, tuple(sorted(static.items()))))
+        self._out = unpack_tree(packed, spec)
         self._is_analyzed = True
 
     def results_data(self, as_dict: bool = False, as_json: bool = False):

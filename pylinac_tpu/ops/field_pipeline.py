@@ -25,7 +25,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .peaks import _distance_filter, _local_maxima
+from .peaks import (
+    MainPeak as _MainPeak,
+    _distance_filter,
+    _local_maxima,
+    main_peak as _main_peak,
+    main_peak_ips as _ips_at,
+)
 
 # slots for ABOVE-THRESHOLD extrema of the smoothed derivative (strong 0.8
 # relative threshold keeps only the field edges, so a few slots suffice)
@@ -75,62 +81,6 @@ def _y_at_frac(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     n = v.shape[0]
     i = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, n - 2)
     return v[i] + (v[i + 1] - v[i]) * (idx - i)
-
-
-class _MainPeak(NamedTuple):
-    """The most prominent peak of a profile: everything needed to evaluate
-    FWXM crossings at any relative height without re-running the search."""
-
-    pos: jnp.ndarray     # int32 peak index (interp space)
-    val: jnp.ndarray     # f32 height
-    prom: jnp.ndarray    # f32 prominence
-    lb: jnp.ndarray      # int32 left base
-    rb: jnp.ndarray      # int32 right base
-
-
-def _main_peak(v: jnp.ndarray) -> _MainPeak:
-    """The most prominent peak = the global-max plateau (scipy midpoint
-    convention). Computed directly in O(N) — no fixed-K maxima collection,
-    so arbitrarily noisy profiles cannot overflow the slot budget the way a
-    bounded ``peak_analysis`` call could."""
-    n = v.shape[0]
-    idx = jnp.arange(n)
-    p0 = jnp.argmax(v)
-    pv = v[p0]
-    # contiguous equal-value run containing the argmax → midpoint
-    brk = v != pv
-    run_start = jnp.max(jnp.where((idx <= p0) & brk, idx, -1)) + 1
-    run_end = jnp.min(jnp.where((idx >= p0) & brk, idx, n)) - 1
-    p = (run_start + (run_end - run_start) // 2).astype(jnp.int32)
-    # prominence bases: nothing is higher, so windows span the whole signal
-    left_vals = jnp.where(idx <= p, v, jnp.inf)
-    left_min = jnp.min(left_vals)
-    lb = jnp.max(jnp.where(left_vals == left_min, idx, -1)).astype(jnp.int32)
-    right_vals = jnp.where(idx >= p, v, jnp.inf)
-    right_min = jnp.min(right_vals)
-    rb = jnp.min(jnp.where(right_vals == right_min, idx, n)).astype(jnp.int32)
-    prom = pv - jnp.maximum(left_min, right_min)
-    return _MainPeak(p, pv, prom, lb, rb)
-
-
-def _ips_at(v: jnp.ndarray, pk: _MainPeak, rel_height: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Interpolated left/right crossings of the main peak at ``rel_height``
-    (scipy ``peak_widths`` semantics, identical to ``peaks.peak_analysis``'s
-    width step but with a free relative height)."""
-    n = v.shape[0]
-    idx = jnp.arange(n)
-    h = pk.val - pk.prom * rel_height
-    lmask = (idx >= pk.lb) & (idx <= pk.pos) & (v <= h)
-    j = jnp.max(jnp.where(lmask, idx, pk.lb))
-    jn = jnp.minimum(j + 1, n - 1)
-    interp = (h - v[j]) / jnp.where(v[jn] == v[j], 1.0, v[jn] - v[j])
-    left_ip = jnp.where(v[j] < h, j + interp, j.astype(jnp.float32))
-    rmask = (idx >= pk.pos) & (idx <= pk.rb) & (v <= h)
-    j2 = jnp.min(jnp.where(rmask, idx, pk.rb))
-    jp = jnp.maximum(j2 - 1, 0)
-    interp2 = (h - v[j2]) / jnp.where(v[jp] == v[j2], 1.0, v[jp] - v[j2])
-    right_ip = jnp.where(v[j2] < h, j2 - interp2, j2.astype(jnp.float32))
-    return left_ip, right_ip
 
 
 def _first_thresholded_peak(sig: jnp.ndarray, distance: float, first: bool) -> jnp.ndarray:
@@ -472,13 +422,27 @@ def field_analysis_image(
     }
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("samples_v", "samples_h", "edge", "centering",
-                     "normalization", "flatness", "symmetry", "ground",
-                     "edge_smoothing_ratio"),
-)
-def field_analysis_batch(images: jnp.ndarray, params: FAParams, **static) -> dict:
-    """(B, H, W) batch → per-image FieldResult scalars in ONE dispatch."""
+_FA_STATICS = ("samples_v", "samples_h", "edge", "centering",
+               "normalization", "flatness", "symmetry", "ground",
+               "edge_smoothing_ratio")
+
+
+def _field_analysis_batch(images: jnp.ndarray, params: FAParams, **static) -> dict:
     single = functools.partial(field_analysis_image, params=params, **static)
     return jax.vmap(lambda im: single(im))(images.astype(jnp.float32))
+
+
+field_analysis_batch = functools.partial(jax.jit, static_argnames=_FA_STATICS)(
+    _field_analysis_batch)
+field_analysis_batch.__doc__ = (
+    "(B, H, W) batch → per-image FieldResult scalars in ONE dispatch.")
+
+
+@functools.partial(jax.jit, static_argnames=_FA_STATICS)
+def field_analysis_batch_packed(images: jnp.ndarray, params: FAParams, **static) -> jnp.ndarray:
+    """Same as :func:`field_analysis_batch` but returns ONE packed f32
+    vector so remote hosts pay a single device→host fetch
+    (``ops.pack.unpack_tree`` restores the dict)."""
+    from .pack import pack_tree
+
+    return pack_tree(_field_analysis_batch(images, params, **static))

@@ -97,14 +97,17 @@ def peak_analysis(
     inf = jnp.inf
 
     is_peak = _local_maxima(v)
+    # height filter BEFORE slot collection: scipy applies height first and
+    # it is elementwise, so this is semantics-preserving — and it stops
+    # sub-threshold noise maxima from exhausting the K slots before the
+    # real peaks are reached (slots fill left-to-right).
+    is_peak &= v >= height
     overflowed = jnp.sum(is_peak) > K
     pos = jnp.nonzero(is_peak, size=K, fill_value=-1)[0].astype(jnp.int32)
     valid = pos >= 0
     safe_pos = jnp.maximum(pos, 0)
     val = v[safe_pos]
 
-    # height filter
-    valid &= val >= height
     # distance filter (scipy ceils the distance)
     valid = _distance_filter(pos, val, valid, jnp.ceil(jnp.asarray(distance, jnp.float32)), K)
 
@@ -161,6 +164,88 @@ def peak_analysis(
         left_ips=left_ips, right_ips=right_ips, valid=valid,
         overflowed=overflowed,
     )
+
+
+def compact_slots(result: PeakResult, K_out: int) -> PeakResult:
+    """Move valid slots to the front (preserving left-to-right order) and
+    truncate to ``K_out`` slots. Lets callers analyze with a generous K and
+    carry a small fixed slot count downstream."""
+    K = result.positions.shape[0]
+    order = jnp.argsort(jnp.where(result.valid, jnp.arange(K), K + jnp.arange(K)))
+    take = order[:K_out]
+
+    def gather(f):
+        return f[take]
+
+    n = jnp.sum(result.valid)
+    new_valid = jnp.arange(K_out) < n
+    return PeakResult(
+        positions=jnp.where(new_valid, gather(result.positions), -1),
+        values=gather(result.values),
+        prominences=gather(result.prominences),
+        left_bases=gather(result.left_bases),
+        right_bases=gather(result.right_bases),
+        widths=gather(result.widths),
+        width_heights=gather(result.width_heights),
+        left_ips=gather(result.left_ips),
+        right_ips=gather(result.right_ips),
+        valid=new_valid & gather(result.valid),
+        overflowed=result.overflowed,
+    )
+
+
+class MainPeak(NamedTuple):
+    """The most prominent peak of a 1D signal: everything needed to evaluate
+    FWXM crossings at any relative height without a fixed-K peak search."""
+
+    pos: jnp.ndarray     # int32 peak index
+    val: jnp.ndarray     # f32 height
+    prom: jnp.ndarray    # f32 prominence
+    lb: jnp.ndarray      # int32 left base
+    rb: jnp.ndarray      # int32 right base
+
+
+def main_peak(v: jnp.ndarray) -> MainPeak:
+    """The most prominent peak = the global-max plateau (scipy midpoint
+    convention), computed directly in O(N). No slot collection, so
+    arbitrarily noisy signals cannot overflow a K budget."""
+    n = v.shape[0]
+    idx = jnp.arange(n)
+    p0 = jnp.argmax(v)
+    pv = v[p0]
+    # contiguous equal-value run containing the argmax → midpoint
+    brk = v != pv
+    run_start = jnp.max(jnp.where((idx <= p0) & brk, idx, -1)) + 1
+    run_end = jnp.min(jnp.where((idx >= p0) & brk, idx, n)) - 1
+    p = (run_start + (run_end - run_start) // 2).astype(jnp.int32)
+    # prominence bases: nothing is higher, so windows span the whole signal
+    left_vals = jnp.where(idx <= p, v, jnp.inf)
+    left_min = jnp.min(left_vals)
+    lb = jnp.max(jnp.where(left_vals == left_min, idx, -1)).astype(jnp.int32)
+    right_vals = jnp.where(idx >= p, v, jnp.inf)
+    right_min = jnp.min(right_vals)
+    rb = jnp.min(jnp.where(right_vals == right_min, idx, n)).astype(jnp.int32)
+    prom = pv - jnp.maximum(left_min, right_min)
+    return MainPeak(p, pv, prom, lb, rb)
+
+
+def main_peak_ips(v: jnp.ndarray, pk: MainPeak, rel_height) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interpolated left/right crossings of ``pk`` at ``rel_height`` (scipy
+    ``peak_widths`` semantics; ``rel_height`` may be traced)."""
+    n = v.shape[0]
+    idx = jnp.arange(n)
+    h = pk.val - pk.prom * rel_height
+    lmask = (idx >= pk.lb) & (idx <= pk.pos) & (v <= h)
+    j = jnp.max(jnp.where(lmask, idx, pk.lb))
+    jn = jnp.minimum(j + 1, n - 1)
+    interp = (h - v[j]) / jnp.where(v[jn] == v[j], 1.0, v[jn] - v[j])
+    left_ip = jnp.where(v[j] < h, j + interp, j.astype(jnp.float32))
+    rmask = (idx >= pk.pos) & (idx <= pk.rb) & (v <= h)
+    j2 = jnp.min(jnp.where(rmask, idx, pk.rb))
+    jp = jnp.maximum(j2 - 1, 0)
+    interp2 = (h - v[j2]) / jnp.where(v[jp] == v[j2], 1.0, v[jp] - v[j2])
+    right_ip = jnp.where(v[j2] < h, j2 - interp2, j2.astype(jnp.float32))
+    return left_ip, right_ip
 
 
 def select_top(result: PeakResult, max_number: int | None, sort_key: str = "prominences") -> PeakResult:

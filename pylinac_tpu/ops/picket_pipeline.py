@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .peaks import peak_analysis, select_top
+from .peaks import (
+    compact_slots,
+    main_peak,
+    main_peak_ips,
+    peak_analysis,
+    select_top,
+)
 
 
 class PFLeafConfig(NamedTuple):
@@ -118,10 +124,14 @@ def picket_fence_image(
     vmin, vmax = jnp.min(leaf_prof), jnp.max(leaf_prof)
     height_abs = vmin + params.height_threshold * (vmax - vmin)
     sep = max(int(min_distance_frac * W), 1)
-    res = peak_analysis(leaf_prof, K=K_P, rel_height=0.5, height=height_abs,
+    # analyze with a generous slot count (noise maxima above the height
+    # threshold, e.g. on picket tops, may outnumber the pickets), then
+    # compact the surviving peaks into the K_P working slots
+    res = peak_analysis(leaf_prof, K=4 * K_P, rel_height=0.5, height=height_abs,
                         distance=float(sep),
                         required_prominence=params.required_prominence)
     res = select_top(res, num_pickets, peak_sort)
+    res = compact_slots(res, K_P)
     fwxm_idx = jnp.round(res.left_ips + (res.right_ips - res.left_ips) / 2
                          ).astype(jnp.int32)
     fwxm_idx = jnp.clip(fwxm_idx, 0, W - 1)
@@ -181,10 +191,11 @@ def picket_fence_image(
     prof = jnp.where(pmax > 0, prof / jnp.maximum(pmax, 1e-20), prof)
 
     # ---- FWXM of the most prominent peak per kiss ---------------------------
+    # the most prominent peak is the global-max plateau: computed directly,
+    # immune to fixed-K slot overflow on noisy profiles
     def kiss_peak(v):
-        r = peak_analysis(v, K=KISS_K, rel_height=1 - params.fwxm / 100.0)
-        best = jnp.argmax(jnp.where(r.valid, r.prominences, -jnp.inf))
-        return r.left_ips[best], r.right_ips[best]
+        pk = main_peak(v)
+        return main_peak_ips(v, pk, 1 - params.fwxm / 100.0)
 
     l_ips, r_ips = jax.vmap(kiss_peak)(prof.reshape(L * K_P, W_MAX))
     l_ips = l_ips.reshape(L, K_P)
@@ -247,11 +258,11 @@ def picket_fence_image(
     }
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("K_P", "W_MAX", "H_MAX", "KISS_K", "num_pickets",
-                     "peak_sort", "separate_leaves", "chunk"),
-)
+_PF_STATICS = ("K_P", "W_MAX", "H_MAX", "KISS_K", "num_pickets",
+               "peak_sort", "separate_leaves", "chunk")
+
+
+@functools.partial(jax.jit, static_argnames=_PF_STATICS)
 def picket_fence_batch(
     images: jnp.ndarray,
     cfg: PFLeafConfig,
@@ -284,3 +295,13 @@ def picket_fence_batch(
     out = jax.lax.map(jax.vmap(single), chunked)
     return jax.tree_util.tree_map(
         lambda x: x.reshape(-1, *x.shape[2:])[:B], out)
+
+
+@functools.partial(jax.jit, static_argnames=_PF_STATICS)
+def picket_fence_batch_packed(images, cfg, params, **static) -> jnp.ndarray:
+    """Same as :func:`picket_fence_batch` but returns ONE packed f32 vector
+    so remote hosts pay a single device→host fetch
+    (``ops.pack.unpack_tree`` restores the dict)."""
+    from .pack import pack_tree
+
+    return pack_tree(picket_fence_batch.__wrapped__(images, cfg, params, **static))

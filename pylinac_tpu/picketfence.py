@@ -990,11 +990,22 @@ class PicketFenceBatch:
             analysis_ratio=jnp.float32(leaf_analysis_width_ratio),
             nominal_gap_px=jnp.float32(nominal_gap_mm / 2 * dpmm),
         )
-        out = picket_fence_batch(
-            batch, cfg, params, K_P=16, W_MAX=w_max, H_MAX=H_MAX,
-            num_pickets=num_pickets, peak_sort=peak_sort,
-            separate_leaves=separate_leaves, chunk=min(chunk, len(arrays)))
-        self._out = {k: np.asarray(v) for k, v in out.items()}
+        import functools
+
+        from .ops.pack import tree_spec, unpack_tree
+        from .ops.picket_pipeline import picket_fence_batch_packed
+
+        static = dict(K_P=16, W_MAX=w_max, H_MAX=H_MAX,
+                      num_pickets=num_pickets, peak_sort=peak_sort,
+                      separate_leaves=separate_leaves,
+                      chunk=min(chunk, len(arrays)))
+        # one packed fetch: remote D2H latency is paid once, not per array
+        packed = picket_fence_batch_packed(batch, cfg, params, **static)
+        spec = tree_spec(
+            functools.partial(picket_fence_batch, **static), batch, cfg, params,
+            cache_key=("pf", batch.shape, cfg.tops.shape,
+                       tuple(sorted(static.items()))))
+        self._out = unpack_tree(packed, spec)
         if not self._out["kiss_valid"].any():
             raise ValueError(
                 "No MLC measurements were found in the batch. This may be due to "

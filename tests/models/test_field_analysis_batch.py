@@ -33,6 +33,13 @@ SCALAR_FIELDS_MM = [
     "beam_center_to_top_mm", "beam_center_to_bottom_mm",
     "beam_center_to_left_mm", "beam_center_to_right_mm",
     "cax_to_top_mm", "cax_to_bottom_mm", "cax_to_left_mm", "cax_to_right_mm",
+]
+
+# the "top" parabola vertex is near-degenerate on FLAT beams (it is an FFF
+# metric): a one-sample f32/f64 window-boundary difference legitimately moves
+# it ~0.1 mm, so flat-beam parity is checked at a looser bar; the FFF test
+# below pins it tightly where it is well-conditioned.
+TOP_FIELDS_MM = [
     "top_vertical_distance_from_cax_mm", "top_horizontal_distance_from_cax_mm",
 ]
 
@@ -55,6 +62,8 @@ def test_batch_matches_single(field_files, edge):
         sr = fa.results_data()
         for f in SCALAR_FIELDS_MM:
             assert getattr(br, f) == pytest.approx(getattr(sr, f), abs=0.01), f
+        for f in TOP_FIELDS_MM:
+            assert getattr(br, f) == pytest.approx(getattr(sr, f), abs=0.15), f
         assert br.beam_center_index_x_y == pytest.approx(
             sr.beam_center_index_x_y, abs=0.05)
         assert br.geometric_center_index_x_y == pytest.approx(
@@ -84,6 +93,36 @@ def test_batch_field_size_accuracy(field_files):
     assert results[0].field_size_horizontal_mm == pytest.approx(100, abs=0.5)
     assert results[1].field_size_vertical_mm == pytest.approx(120, abs=0.5)
     assert results[1].field_size_horizontal_mm == pytest.approx(80, abs=0.5)
+
+
+def test_batch_fff_top(tmp_path):
+    """FFF beam: the 'top' parabola is well-conditioned — tight parity +
+    ground-truth check (top at the field center)."""
+    from pylinac_tpu.field_analysis import FieldAnalysis, analyze_field_batch
+    from pylinac_tpu.imggen.layers import (
+        FilterFreeFieldLayer,
+        GaussianFilterLayer,
+    )
+    from pylinac_tpu.imggen.simulators import AS1000Image
+
+    path = str(tmp_path / "fff.dcm")
+    sim = AS1000Image(sid=1000)
+    sim.add_layer(FilterFreeFieldLayer(field_size_mm=(100, 100)))
+    sim.add_layer(GaussianFilterLayer(sigma_mm=1))
+    sim.generate_dicom(path)
+
+    br = analyze_field_batch(
+        [path], is_FFF=True, edge_detection_method="Inflection Derivative")[0]
+    fa = FieldAnalysis(path)
+    fa.analyze(is_FFF=True, edge_detection_method="Inflection Derivative")
+    sr = fa.results_data()
+    assert br.top_vertical_distance_from_cax_mm == pytest.approx(
+        sr.top_vertical_distance_from_cax_mm, abs=0.01)
+    assert br.top_horizontal_distance_from_cax_mm == pytest.approx(
+        sr.top_horizontal_distance_from_cax_mm, abs=0.01)
+    # ground truth: centered beam -> top at CAX
+    assert abs(br.top_vertical_distance_from_cax_mm) < 1.0
+    assert abs(br.top_horizontal_distance_from_cax_mm) < 1.0
 
 
 def test_batch_rejects_hill(field_files):
