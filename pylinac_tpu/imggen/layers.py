@@ -14,8 +14,7 @@ import jax
 
 from ..core.array_utils import geometric_center_idx
 from ..ops.filters import gaussian_filter
-
-_jitted_gaussian = jax.jit(gaussian_filter, static_argnums=1)
+from ..ops.route import put
 
 
 def clip_add(image1: np.ndarray, image2: np.ndarray, dtype=np.uint16) -> np.ndarray:
@@ -250,11 +249,12 @@ class PerfectBBLayer(PerfectConeLayer):
 
 
 class GaussianFilterLayer(Layer):
-    """Gaussian blur simulating scatter — runs on the device filter kernel.
+    """Gaussian blur simulating scatter.
 
-    The filter is jitted with a static sigma: under the axon TPU tunnel an
-    eager (op-by-op) filter pays one network round trip per tap, so a single
-    fused dispatch is ~100x faster end-to-end.
+    Runs the jitted filter kernel on the in-process CPU backend: synthetic
+    image generation is host-side tooling (test fixtures, docs), and a
+    remote-TPU compile for it would cost far more than the blur itself while
+    adding tunnel variance to benchmark setup.
     """
 
     def __init__(self, sigma_mm: float = 2):
@@ -262,8 +262,8 @@ class GaussianFilterLayer(Layer):
 
     def apply(self, image, pixel_size, mag_factor):
         sigma_pix = self.sigma_mm / pixel_size
-        out = np.asarray(_jitted_gaussian(jnp.asarray(image, jnp.float32),
-                                          float(sigma_pix)))
+        x = put(np.asarray(image, np.float32), small=True)
+        out = np.asarray(gaussian_filter(x, float(sigma_pix)))
         return out.astype(image.dtype)
 
 
