@@ -56,6 +56,63 @@ class PFParams(NamedTuple):
     cax_col: jnp.ndarray            # image center column ((W/2) - 0.5)
     analysis_ratio: jnp.ndarray     # leaf_analysis_width_ratio
     nominal_gap_px: jnp.ndarray     # nominal_gap_mm / 2 * dpmm (separate leaves)
+    invert: jnp.ndarray = np.False_  # explicit user inversion (bool scalar)
+
+
+def preprocess_pf_image(img: jnp.ndarray, *, despike: bool = True,
+                        extra_filter: int = 0,
+                        invert=False) -> jnp.ndarray:
+    """In-kernel PF image conditioning — the device equivalent of the host
+    preprocessing the reference does eagerly per image
+    (``picketfence.py:204-238`` de-spiking, corner inversion check;
+    ``:405`` ground+normalize; explicit ``invert`` from ``analyze``).
+
+    Equivalences used (all exact): median and value-inversion commute;
+    ground+normalize after inversion equals inversion after
+    ground+normalize; a second inversion cancels the first, so the explicit
+    user flag XORs with the corner-sample decision.
+    """
+    from .filters import _median_general
+
+    img = img.astype(jnp.float32)
+    H, W = img.shape
+
+    def has_noise(a):
+        vmin, vmax = jnp.min(a), jnp.max(a)
+        near = jnp.percentile(a, jnp.asarray([0.5, 99.5]))
+        near_min, near_max = near[0], near[1]
+        max_is_extreme = vmax > near_max * 1.25
+        min_is_extreme = (vmin < near_min * 0.75) & (
+            jnp.abs(vmin - near_min) > 0.1 * (near_max - near_min))
+        return max_is_extreme | min_is_extreme
+
+    if despike:
+        def cond(state):
+            a, i = state
+            return (i < 5) & has_noise(a)
+
+        def body(state):
+            a, i = state
+            return _median_general(a, 3), i + 1
+
+        img, _ = jax.lax.while_loop(cond, body, (img, jnp.int32(0)))
+
+    # corner-sample inversion check (box_size=10, position=(0.01, 0.01))
+    rp, cp, b = max(int(0.01 * H), 1), max(int(0.01 * W), 1), 10
+    corners = jnp.stack([
+        img[rp:rp + b, cp:cp + b], img[rp:rp + b, W - cp - b:W - cp],
+        img[H - rp - b:H - rp, cp:cp + b],
+        img[H - rp - b:H - rp, W - cp - b:W - cp]])
+    do_inv = jnp.mean(corners) > jnp.mean(img)
+    do_inv = do_inv ^ jnp.asarray(invert, bool)
+    vmin, vmax = jnp.min(img), jnp.max(img)
+    img = jnp.where(do_inv, -img + vmax + vmin, img)
+
+    if extra_filter > 1:
+        img = _median_general(img, extra_filter)
+
+    img = img - jnp.min(img)
+    return img / jnp.max(img)
 
 
 def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -109,6 +166,8 @@ def picket_fence_image(
     peak_sort: str = "peak_heights",
     separate_leaves: bool = False,
     min_distance_frac: float = 0.02,
+    preprocess: bool = False,
+    extra_filter: int = 0,
 ) -> dict:
     """Analyze ONE picket-fence image; pure jax, jit/vmap/map-friendly.
 
@@ -117,6 +176,9 @@ def picket_fence_image(
     H, W = img.shape
     L = cfg.tops.shape[0]
     img = img.astype(jnp.float32)
+    if preprocess:
+        img = preprocess_pf_image(img, despike=True, extra_filter=extra_filter,
+                                  invert=params.invert)
 
     # ---- picket peaks on the normalized mean leaf profile ------------------
     leaf_prof = jnp.mean(img, axis=0)
@@ -162,8 +224,13 @@ def picket_fence_image(
     rmask = row_ar[None, :] < cfg.heights[:, None]
     rows_safe = jnp.clip(rows, 0, H - 1)
 
-    # gather all windows: (L, K_P, H_MAX, W_MAX)
-    win = img[rows_safe[:, None, :, None], cols_safe[None, :, None, :]]
+    # gather all windows: (L, K_P, H_MAX, W_MAX). The gather is SEPARABLE
+    # (rows depend only on the leaf, cols only on the picket): two staged
+    # 1-axis gathers lower to fast row/column moves, where a fused pointwise
+    # 4D gather would lower to a ~60M-element scalar gather (~44x slower on
+    # TPU, measured).
+    row_slab = img[rows_safe]                                   # (L, H_MAX, W)
+    win = jnp.swapaxes(row_slab[:, :, cols_safe], 1, 2)         # (L, K_P, H_MAX, W_MAX)
     wmask = rmask[:, None, :, None] & cmask[None, :, None, :]
 
     # validity (reference _is_mlc_peak_in_window): per-ROW std across window
@@ -259,7 +326,8 @@ def picket_fence_image(
 
 
 _PF_STATICS = ("K_P", "W_MAX", "H_MAX", "KISS_K", "num_pickets",
-               "peak_sort", "separate_leaves", "chunk")
+               "peak_sort", "separate_leaves", "chunk", "preprocess",
+               "extra_filter")
 
 
 @functools.partial(jax.jit, static_argnames=_PF_STATICS)
@@ -275,7 +343,9 @@ def picket_fence_batch(
     num_pickets: int | None = None,
     peak_sort: str = "peak_heights",
     separate_leaves: bool = False,
-    chunk: int = 4,
+    chunk: int = 32,
+    preprocess: bool = False,
+    extra_filter: int = 0,
 ) -> dict:
     """Analyze a (B, H, W) batch in ONE device dispatch.
 
@@ -287,7 +357,8 @@ def picket_fence_batch(
     single = functools.partial(
         picket_fence_image, cfg=cfg, params=params, K_P=K_P, W_MAX=W_MAX,
         H_MAX=H_MAX, KISS_K=KISS_K, num_pickets=num_pickets,
-        peak_sort=peak_sort, separate_leaves=separate_leaves)
+        peak_sort=peak_sort, separate_leaves=separate_leaves,
+        preprocess=preprocess, extra_filter=extra_filter)
     pad = (-B) % chunk
     if pad:
         images = jnp.concatenate([images, images[:pad]], axis=0)

@@ -869,21 +869,40 @@ class PicketFenceBatch:
     def __init__(self, images: Sequence, mlc: MLC | MLCArrangement | str = MLC.MILLENNIUM,
                  crop_mm: int = 3, filter: int | None = None,
                  image_kwargs: dict | None = None):
-        self.images: list[PFDicomImage] = []
+        # Host side only LOADS pixels (DICOM decode + crop, numpy views).
+        # De-spiking, inversion check, extra filtering, ground and normalize
+        # all run inside the fused device pipeline (one dispatch per batch)
+        # — the reference does these eagerly per image (picketfence.py:204).
+        self.images: list[image.LinacDicomImage] = []
         for item in images:
-            if isinstance(item, PFDicomImage):
-                img = item
+            if isinstance(item, image.BaseImage):
+                img = item  # PFDicomImage input: already cropped/conditioned
             else:
-                img = PFDicomImage(item, crop_mm=crop_mm, **(image_kwargs or {}))
-            if isinstance(filter, int):
-                img.filter(size=filter)
-            img.ground()
-            img.normalize()
+                img = image.LinacDicomImage(item, **(image_kwargs or {}))
+                crop_px = int(round(crop_mm * img.dpmm))
+                if crop_px:
+                    img.crop(pixels=crop_px)
             self.images.append(img)
         if not self.images:
             raise ValueError("No images were provided")
+        self._extra_filter = filter if isinstance(filter, int) else 0
         self.mlc = PicketFence._get_mlc_arrangement(mlc)
         self._is_analyzed = False
+
+    @staticmethod
+    def _host_inversion_hint(arr: np.ndarray) -> bool:
+        """Corner-sample inversion test on the raw array (numpy twin of the
+        kernel's check; used only to condition orientation detection and the
+        picket-spacing estimate — the kernel redoes it authoritatively).
+        The whole-image mean is subsampled: this is a coarse binary decision,
+        not a parity-bearing numeric."""
+        H, W = arr.shape
+        rp, cp, b = max(int(0.01 * H), 1), max(int(0.01 * W), 1), 10
+        corners = np.stack([
+            arr[rp:rp + b, cp:cp + b], arr[rp:rp + b, W - cp - b:W - cp],
+            arr[H - rp - b:H - rp, cp:cp + b],
+            arr[H - rp - b:H - rp, W - cp - b:W - cp]])
+        return bool(corners.mean() > arr[::4, ::4].mean())
 
     @staticmethod
     def _detect_orientation(arr: np.ndarray) -> Orientation:
@@ -935,7 +954,7 @@ class PicketFenceBatch:
                 fwxm: int = 50, separate_leaves: bool = False,
                 nominal_gap_mm: float = 3,
                 orientation: Orientation | str | None = None,
-                w_max: int | None = None, chunk: int = 4) -> None:
+                w_max: int | None = None, chunk: int = 32) -> None:
         """Batch equivalent of :meth:`PicketFence.analyze` (one device
         dispatch for the whole image set)."""
         from .ops.picket_pipeline import PFParams, picket_fence_batch
@@ -950,13 +969,20 @@ class PicketFenceBatch:
         arrays = []
         self._orientations = []
         for img in self.images:
-            if invert:
-                img.invert()
-            orient = (convert_to_enum(orientation, Orientation) if orientation
-                      else self._detect_orientation(img.array))
+            raw = np.asarray(img.array)
+            if orientation:
+                orient = convert_to_enum(orientation, Orientation)
+            else:
+                # orientation is a coarse binary decision on percentile
+                # spreads of row/col sums: detect on a 4x-subsampled copy,
+                # inversion-conditioned (the kernel applies the
+                # authoritative inversion on device)
+                sub = raw[::4, ::4]
+                if self._host_inversion_hint(raw) ^ invert:
+                    sub = sub.max() + sub.min() - sub.astype(np.float32)
+                orient = self._detect_orientation(sub)
             self._orientations.append(orient)
-            arr = img.array if orient == Orientation.UP_DOWN else img.array.T
-            arrays.append(np.ascontiguousarray(arr, dtype=np.float32))
+            arrays.append(raw if orient == Orientation.UP_DOWN else raw.T)
         shapes = {a.shape for a in arrays}
         if len(shapes) != 1:
             raise ValueError(
@@ -973,13 +999,23 @@ class PicketFenceBatch:
         H_MAX = -(-h_max // 8) * 8
         if w_max is None:
             # estimate picket spacing from the first image's mean profile
-            prof = arrays[0].mean(axis=0)
+            # (host-conditioned: inversion hint + ground, numpy only)
+            a0 = arrays[0].astype(np.float32)
+            if self._host_inversion_hint(arrays[0]) ^ invert:
+                a0 = a0.max() + a0.min() - a0
+            prof = a0.mean(axis=0)
+            prof -= prof.min()
             idxs, _ = jpk.find_peaks(
                 prof / prof.max(), threshold=height_threshold,
                 peak_separation=0.02, required_prominence=required_prominence)
             spacing_est = float(np.median(np.diff(np.sort(idxs)))) if len(idxs) > 1 else W
             w_max = int(min(-(-int(spacing_est + 2) // 64) * 64, W))
-        batch = jnp.asarray(np.stack(arrays))
+        # stage the RAW batch in its native dtype (uint16 halves the H2D
+        # bytes on a tunneled device); conditioning happens in-kernel
+        stacked = np.stack(arrays)
+        if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
+            stacked = stacked.astype(np.float32)
+        batch = jnp.asarray(stacked)
         params = PFParams(
             height_threshold=jnp.float32(height_threshold),
             edge_threshold=jnp.float32(edge_threshold),
@@ -989,6 +1025,7 @@ class PicketFenceBatch:
             cax_col=jnp.float32(W / 2 - 0.5),
             analysis_ratio=jnp.float32(leaf_analysis_width_ratio),
             nominal_gap_px=jnp.float32(nominal_gap_mm / 2 * dpmm),
+            invert=np.bool_(invert),
         )
         import functools
 
@@ -998,7 +1035,8 @@ class PicketFenceBatch:
         static = dict(K_P=16, W_MAX=w_max, H_MAX=H_MAX,
                       num_pickets=num_pickets, peak_sort=peak_sort,
                       separate_leaves=separate_leaves,
-                      chunk=min(chunk, len(arrays)))
+                      chunk=min(chunk, len(arrays)),
+                      preprocess=True, extra_filter=self._extra_filter)
         # one packed fetch: remote D2H latency is paid once, not per array
         packed = picket_fence_batch_packed(batch, cfg, params, **static)
         spec = tree_spec(
