@@ -243,7 +243,8 @@ def _stack_phantom_regions(clipped_vol, raw_vol, K: int, clear_borders: bool):
         thres = otsu_threshold(edges)
         bw = edges > thres
         regions = jlabel.regionprops(bw, edges, K=K, connectivity=2,
-                                     hull=False)  # CT never reads solidity
+                                     hull=False,    # CT never reads solidity
+                                     minmax=False)  # ...nor bbox/min/max
         if clear_borders:
             regions = jlabel.clear_border(regions)
         return jlabel.pack_regions(regions), jnp.max(scharr(raw_sl))
@@ -1482,6 +1483,67 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         plt.tight_layout()
         if show:
             plt.show()
+
+    @staticmethod
+    def _plotly_module_fig(module, show_colorbar: bool = True):
+        """Module slice image + ROI circles as a plotly-schema figure."""
+        from .core import plotly_utils as pu
+
+        fig = pu.image_figure(module.image.array,
+                              title=f"{module.common_name} ({module.slice_num + 1})",
+                              show_colorbar=show_colorbar)
+        shapes = fig.layout.setdefault("shapes", [])
+        for roi, color in ([(r, r.plot_color) for r in module.rois.values()]
+                           + [(r, "blue") for r in module.background_rois.values()]):
+            if not hasattr(roi, "radius"):
+                continue
+            shapes.append({
+                "type": "circle",
+                "x0": roi.center.x - roi.radius, "x1": roi.center.x + roi.radius,
+                "y0": roi.center.y - roi.radius, "y1": roi.center.y + roi.radius,
+                "line": {"color": color, "width": 2}})
+        return fig
+
+    def plotly_analyzed_images(self, show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures per analyzed module + HU linearity + MTF
+        (reference ``ct.py:2150``). Returns ``{name: Figure}`` of plotly
+        JSON-schema figures (:mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        if not hasattr(self, "ctp404"):
+            raise RuntimeError("The CT scan must be analyzed first. Use .analyze().")
+        figs: dict[str, pu.Figure] = {}
+        figs["CTP404"] = self._plotly_module_fig(self.ctp404, show_colorbar)
+        lin = pu.Figure()
+        nominal = [roi.nominal_val for roi in self.ctp404.rois.values()]
+        deltas = [roi.value_diff for roi in self.ctp404.rois.values()]
+        lin.add_trace(pu.marker_trace(nominal, deltas, name="HU delta",
+                                      symbol="cross", color="green"))
+        pu.add_horizontal_line(lin, 0, color="gray")
+        pu.add_title(lin, "HU Linearity")
+        lin.update_layout(xaxis_title="Nominal HU", yaxis_title="HU Delta",
+                          showlegend=show_legend)
+        figs["HU Linearity"] = lin
+        if self._has_module(CTP486):
+            figs["CTP486"] = self._plotly_module_fig(self.ctp486, show_colorbar)
+        if self._has_module(CTP528):
+            figs["CTP528"] = self._plotly_module_fig(self.ctp528, show_colorbar)
+            mtf = pu.Figure()
+            mtf.add_trace(pu.scatter_trace(
+                list(self.ctp528.mtf.norm_mtfs.keys()),
+                list(self.ctp528.mtf.norm_mtfs.values()),
+                name="rMTF", mode="lines+markers"))
+            pu.add_title(mtf, "RMTF")
+            mtf.update_layout(xaxis_title="Line pairs / mm",
+                              yaxis_title="Relative MTF", showlegend=show_legend)
+            figs["MTF"] = mtf
+        if self._has_module(CTP515):
+            figs["CTP515"] = self._plotly_module_fig(self.ctp515, show_colorbar)
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
 
     def publish_pdf(self, filename, notes=None, open_file: bool = False,
                     metadata: dict | None = None, logo=None) -> None:

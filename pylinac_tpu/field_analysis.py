@@ -475,6 +475,37 @@ class FieldAnalysis(ResultsDataMixin[FieldResult], QuaacMixin):
             plt.show()
         return fig, axes
 
+    def plotly_analyzed_images(self, show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures: image with strip locations + vertical/horizontal
+        profiles (reference ``field_analysis.py:1214``). Returns
+        ``{name: Figure}`` of plotly JSON-schema figures
+        (:mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        if not self._is_analyzed:
+            raise NotAnalyzed("Image is not analyzed yet. Use analyze() first.")
+        figs: dict[str, pu.Figure] = {}
+        if not self._from_device:
+            fig = pu.image_figure(self.image.array, title="Image",
+                                  show_colorbar=show_colorbar, **kwargs)
+            pu.add_horizontal_line(fig, self._upper_h_index, color="blue")
+            pu.add_vertical_line(fig, self._left_v_index, color="red")
+            figs["Image"] = fig
+        for name, prof in (("Vertical Profile", self.vert_profile),
+                           ("Horizontal Profile", self.horiz_profile)):
+            pfig = pu.Figure()
+            pfig.add_trace(pu.scatter_trace(prof.x_indices, prof.values,
+                                            name=name))
+            pu.add_title(pfig, name)
+            pfig.update_layout(xaxis_title="Index", yaxis_title="Value",
+                               showlegend=show_legend)
+            figs[name] = pfig
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
     def publish_pdf(self, filename: str, notes: str | list[str] | None = None,
                     open_file: bool = False, metadata: dict | None = None,
                     logo: str | None = None) -> None:

@@ -217,7 +217,8 @@ def fill_holes(mask: jnp.ndarray, max_iter: int = 512) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("K", "connectivity", "max_iter", "fill", "hull"))
+                   static_argnames=("K", "connectivity", "max_iter", "fill",
+                                    "hull", "minmax"))
 def regionprops(
     mask: jnp.ndarray,
     intensity: jnp.ndarray | None = None,
@@ -226,6 +227,7 @@ def regionprops(
     max_iter: int = 512,
     fill: bool = True,
     hull: bool = True,
+    minmax: bool = True,
 ) -> Regions:
     """Label a mask and compute fixed-K region properties in one pass.
 
@@ -234,6 +236,11 @@ def regionprops(
     border, assigned to their enclosing region via neighbor labels.  This
     keeps separate regions inside another region's hole separate (e.g. a BB
     inside the out-of-field ring of a WL image window).
+
+    ``minmax=False`` skips the bbox and min/max-intensity reductions (each
+    is a full (H*W, K) masked reduce — the HBM-dominant cost on TPU);
+    callers that only read areas/centroids/moments (e.g. the batched CT
+    localization) should disable it. Skipped fields return zeros.
     """
     h, w = mask.shape
     mask = mask.astype(bool)
@@ -357,16 +364,22 @@ def regionprops(
     mean_i = sum_i / jnp.maximum(area, 1)
     touches = sums[:, 5] > 0
     perimeter = sums[:, 6]
-    max_i = seg_max(jnp.where(in_mask > 0, intensity.ravel(), -jnp.inf))[:K]
-    min_i = seg_min(jnp.where(in_mask > 0, intensity.ravel(), jnp.inf))[:K]
-
-    # bbox on the region pixels (holes are interior: identical to filled bbox)
     filled_f = in_mask
-    big = jnp.float32(h * w)
-    rmin = seg_min(jnp.where(filled_f > 0, rr, big))[:K]
-    cmin = seg_min(jnp.where(filled_f > 0, cc, big))[:K]
-    rmax = seg_max(jnp.where(filled_f > 0, rr, -1.0))[:K]
-    cmax = seg_max(jnp.where(filled_f > 0, cc, -1.0))[:K]
+    if minmax:
+        max_i = seg_max(jnp.where(in_mask > 0, intensity.ravel(), -jnp.inf))[:K]
+        min_i = seg_min(jnp.where(in_mask > 0, intensity.ravel(), jnp.inf))[:K]
+
+        # bbox on the region pixels (holes are interior: same as filled bbox)
+        big = jnp.float32(h * w)
+        rmin = seg_min(jnp.where(filled_f > 0, rr, big))[:K]
+        cmin = seg_min(jnp.where(filled_f > 0, cc, big))[:K]
+        rmax = seg_max(jnp.where(filled_f > 0, rr, -1.0))[:K]
+        cmax = seg_max(jnp.where(filled_f > 0, cc, -1.0))[:K]
+    else:
+        zeros = jnp.zeros(K, jnp.float32)
+        max_i = min_i = zeros
+        rmin = cmin = zeros
+        rmax = cmax = zeros - 1.0
 
     # central moments (unfilled pixels, like skimage inertia) for axes/ecc
     mu20 = sums[:, 7] / jnp.maximum(area, 1) - centroid_r**2

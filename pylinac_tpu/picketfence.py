@@ -825,6 +825,58 @@ class PicketFence(ResultsDataMixin[PFResult], QuaacMixin):
             plt.show()
         return ax
 
+    def plotly_analyzed_images(self, mlc_peaks: bool = True, overlay: bool = True,
+                               show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures of the analyzed image + error histogram (reference
+        ``picketfence.py:914``). Returns ``{name: Figure}``; figures are
+        plotly JSON-schema objects (see :mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        if not self._is_analyzed:
+            raise RuntimeError("The image must be analyzed first. Use .analyze().")
+        figs: dict[str, pu.Figure] = {}
+        fig = pu.image_figure(self.image.array, title="Picket Fence Analysis",
+                              show_colorbar=show_colorbar, **kwargs)
+        x_data = np.arange(self.image.shape[0]
+                           if self.orientation == Orientation.UP_DOWN
+                           else self.image.shape[1])
+        for picket in self.pickets:
+            for left, right in zip(picket.left_guard_separated,
+                                   picket.right_guard_separated):
+                for guard in (left, right):
+                    gx, gy = ((guard(x_data), x_data)
+                              if self.orientation == Orientation.UP_DOWN
+                              else (x_data, guard(x_data)))
+                    fig.add_trace(pu.scatter_trace(
+                        gx, gy, name="Guard rail", mode="lines",
+                        line={"color": "green", "width": 1},
+                        showlegend=False))
+        if mlc_peaks:
+            for meas in self.mlc_meas:
+                for idx, line in enumerate(meas.marker_lines):
+                    fig.add_trace(pu.scatter_trace(
+                        [line.point1.x, line.point2.x],
+                        [line.point1.y, line.point2.y],
+                        mode="lines", name="MLC",
+                        line={"color": meas.bg_color[idx], "width": 2},
+                        showlegend=False))
+        fig.update_layout(showlegend=show_legend)
+        figs["Picket Fence"] = fig
+
+        hist = pu.Figure()
+        hist.add_trace(pu.histogram_trace(self._flattened_errors(), name="Errors"))
+        pu.add_vertical_line(hist, self.tolerance, color="red", width=3)
+        pu.add_vertical_line(hist, -self.tolerance, color="red", width=3)
+        pu.add_title(hist, "Leaf error histogram")
+        hist.update_layout(xaxis_title="Error (mm)", yaxis_title="Counts",
+                           showlegend=show_legend)
+        figs["Histogram"] = hist
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
     def plot_histogram(self, bins: int = 10, show: bool = True) -> None:
         import matplotlib.pyplot as plt
 

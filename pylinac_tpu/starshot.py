@@ -354,6 +354,45 @@ class Starshot(ResultsDataMixin[StarshotResults], QuaacMixin):
             plt.show()
         return fig, axes
 
+    def plotly_analyzed_images(self, show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures: full image + wobble zoom (reference
+        ``starshot.py:454``). Returns ``{name: Figure}`` of plotly
+        JSON-schema figures (:mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        if not self._is_analyzed:
+            raise RuntimeError("The image must be analyzed first. Use .analyze().")
+        figs: dict[str, pu.Figure] = {}
+        for name, zoom in zip(("Image", "Wobble"), (False, True)):
+            fig = pu.image_figure(self.image.array, title="Starshot Analysis",
+                                  show_colorbar=show_colorbar, **kwargs)
+            for idx, line in enumerate(self.lines):
+                fig.add_trace(pu.scatter_trace(
+                    [line.point1.x, line.point2.x],
+                    [line.point1.y, line.point2.y],
+                    mode="lines", name=f"Line {idx}",
+                    line={"color": "blue", "width": 1},
+                    showlegend=show_legend))
+            theta = np.linspace(0, 2 * np.pi, 100)
+            fig.add_trace(pu.scatter_trace(
+                self.wobble.center.x + self.wobble.radius * np.cos(theta),
+                self.wobble.center.y + self.wobble.radius * np.sin(theta),
+                mode="lines", name="Wobble",
+                line={"color": "green", "width": 2}, showlegend=show_legend))
+            if zoom:
+                pu.set_axis_range(
+                    fig,
+                    x=[self.wobble.center.x - self.wobble.diameter,
+                       self.wobble.center.x + self.wobble.diameter],
+                    y=[self.wobble.center.y - self.wobble.diameter,
+                       self.wobble.center.y + self.wobble.diameter])
+            figs[name] = fig
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
     def plot_analyzed_subimage(self, subimage: str = "wholeimage", ax=None,
                                show: bool = True):  # pragma: no cover
         import matplotlib.pyplot as plt

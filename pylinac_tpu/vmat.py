@@ -287,6 +287,42 @@ class VMATBase(ABC, ResultsDataMixin[VMATResult], QuaacMixin):
             plt.show()
         return fig, axes
 
+    def plotly_analyzed_images(self, show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures: Open + DMLC images with segment ROIs, median
+        profiles (reference ``vmat.py:445``). Returns ``{name: Figure}`` of
+        plotly JSON-schema figures (:mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        if not getattr(self, "segments", None):
+            raise RuntimeError("The images must be analyzed first. Use .analyze().")
+        figs: dict[str, pu.Figure] = {}
+        for img, title in zip((self.open_image, self.dmlc_image),
+                              ("Open", "DMLC")):
+            fig = pu.image_figure(img.array, title=f"{title} Image",
+                                  show_colorbar=show_colorbar, **kwargs)
+            for segment in self.segments:
+                # rotation-aware polygon path (handles DRCS rotated ROIs)
+                verts = segment.vertices
+                path = ("M " + " L ".join(f"{p.x},{p.y}" for p in verts) + " Z")
+                fig.layout.setdefault("shapes", []).append({
+                    "type": "path", "path": path,
+                    "line": {"color": segment.get_bg_color(), "width": 2}})
+            figs[title] = fig
+        dmlc_prof, open_prof = self._roi_profiles(self.dmlc_image, self.open_image)
+        prof_fig = pu.Figure()
+        prof_fig.add_trace(pu.scatter_trace(
+            np.arange(len(dmlc_prof.values)), dmlc_prof.values, name="DMLC"))
+        prof_fig.add_trace(pu.scatter_trace(
+            np.arange(len(open_prof.values)), open_prof.values, name="Open"))
+        pu.add_title(prof_fig, "Median Profiles")
+        prof_fig.update_layout(xaxis_title="Pixel", showlegend=show_legend)
+        figs["Median Profiles"] = prof_fig
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
     def publish_pdf(self, filename: str, notes=None, open_file: bool = False,
                     metadata: dict | None = None, logo=None):
         from .core import pdf

@@ -1114,6 +1114,57 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
             plt.show()
         return fig, ax
 
+    def plotly_analyzed_images(self, show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures: one per image (field/BB markers) plus a 3D
+        isocenter visualization (reference ``winston_lutz.py:1830``).
+        Returns ``{name: Figure}`` of plotly JSON-schema figures
+        (:mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        if not self._is_analyzed:
+            raise RuntimeError("The images must be analyzed first. Use .analyze().")
+        figs: dict[str, pu.Figure] = {}
+        for idx, img in enumerate(self.images):
+            fig = pu.image_figure(img.array, title=str(img.to_axes()),
+                                  show_colorbar=show_colorbar, **kwargs)
+            for match in img.arrangement_matches.values():
+                fig.add_trace(pu.marker_trace(
+                    [match.field.x], [match.field.y], name="Field CAX",
+                    symbol="square-open", color="green",
+                    showlegend=show_legend))
+                fig.add_trace(pu.marker_trace(
+                    [match.bb.x], [match.bb.y], name="BB",
+                    symbol="circle-open", color="red",
+                    showlegend=show_legend))
+            figs[f"{idx} - {img.to_axes()}"] = fig
+
+        iso_fig = pu.Figure()
+        for bb in getattr(self, "bbs", []):
+            m = bb.measured_position
+            iso_fig.add_trace({
+                "type": "scatter3d", "x": [m.x], "y": [m.y], "z": [m.z],
+                "mode": "markers", "name": "BB",
+                "marker": {"color": "green", "size": 4}})
+        try:
+            r = self.gantry_iso_size / 2
+            u, v = np.mgrid[0:2 * np.pi:20j, 0:np.pi:10j]
+            iso_fig.add_trace({
+                "type": "surface",
+                "x": r * np.cos(u) * np.sin(v),
+                "y": r * np.sin(u) * np.sin(v),
+                "z": r * np.cos(v),
+                "opacity": 0.2, "showscale": False, "name": "Isocenter sphere"})
+        except (NotImplementedError, ValueError):
+            pass
+        pu.add_title(iso_fig, "Isocenter Visualization")
+        iso_fig.update_layout(showlegend=show_legend)
+        figs["Isocenter Visualization"] = iso_fig
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
     def save_images(self, prefix: str = "", **kwargs) -> list[str]:
         """Save each image's analyzed plot to PNG files (reference ``:2242``)."""
         import matplotlib.pyplot as plt

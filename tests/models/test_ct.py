@@ -90,3 +90,17 @@ def test_rolled_phantom(tmp_path):
     assert abs(ct.catphan_roll - 2.0) < 0.7
     data = ct.results_data()
     assert data.ctp404.hu_linearity_passed
+
+
+def test_catphan_plotly(analyzed_ct):
+    """Structural check of the plotly-schema figures (reference ct.py:2150)."""
+    import json
+
+    figs = analyzed_ct.plotly_analyzed_images(show=False)
+    for key in ("CTP404", "HU Linearity", "CTP486", "CTP528", "MTF", "CTP515"):
+        assert key in figs, f"missing {key}: has {list(figs)}"
+    for fig in figs.values():
+        json.dumps(fig.to_dict())
+    assert figs["CTP404"].data[0]["type"] == "heatmap"
+    assert len(figs["CTP404"].layout["shapes"]) >= 7  # HU ROIs
+    assert figs["MTF"].data[0]["type"] == "scatter"
