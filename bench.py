@@ -290,6 +290,112 @@ class FieldAnalysisConfig:
 
 
 # ===========================================================================
+# Config: CatPhan504 (north-star pair with PicketFence)
+# ===========================================================================
+class CatPhanConfig:
+    name = "CatPhan504"
+    n_images = 1          # one full CBCT scan per "image" (60 slices)
+    n_slices = 60
+
+    def setup(self):
+        from pylinac_tpu.ct import CatPhan504
+        from pylinac_tpu.imggen.ct import generate_catphan504
+
+        tmp = tempfile.mkdtemp()
+        generate_catphan504(tmp, num_slices=self.n_slices,
+                            slice_thickness_mm=2.5)
+        self.ct = CatPhan504(tmp)
+        self.vol = np.stack([img.array for img in self.ct.dicom_stack]
+                            ).astype(np.float32)
+        self.mm_per_pixel = self.ct.mm_per_pixel
+        self.catphan_size = self.ct.catphan_size
+
+    def run_tpu(self):
+        self.ct.analyze()
+        return self.ct.results_data()
+
+    @staticmethod
+    def _scharr(img: np.ndarray) -> np.ndarray:
+        kx = np.array([[3, 0, -3], [10, 0, -10], [3, 0, -3]], np.float32) / 32
+        gx = ndi.convolve(img, kx, mode="reflect")
+        gy = ndi.convolve(img, kx.T, mode="reflect")
+        return np.sqrt(gx * gx + gy * gy)
+
+    @staticmethod
+    def _otsu(img: np.ndarray, nbins: int = 256) -> float:
+        counts, edges = np.histogram(img.ravel(), bins=nbins)
+        centers = (edges[:-1] + edges[1:]) / 2
+        w1 = np.cumsum(counts)
+        w2 = np.cumsum(counts[::-1])[::-1]
+        m1 = np.cumsum(counts * centers) / np.maximum(w1, 1)
+        m2 = (np.cumsum((counts * centers)[::-1]) / np.maximum(w2[::-1], 1))[::-1]
+        var = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+        return float(centers[:-1][np.argmax(var)])
+
+    def run_baseline_one(self, i: int):
+        """Reference CatPhan localization + module semantics in numpy/scipy
+        (``ct.py:2398`` per-slice Scharr->Otsu->label->regionprops axis fit,
+        ``:2453`` origin-slice scan via collapsed circle profiles, ``:2522``
+        roll from air bubbles, CTP404 HU sampling). skimage isn't installed
+        in this image, so scharr/otsu are their standard numpy forms and
+        label/fill ride scipy.ndimage — the same per-slice work."""
+        vol = self.vol
+        n = vol.shape[0]
+        # --- find_phantom_axis: every slice ---------------------------------
+        zs, cxs, cys = [], [], []
+        for idx in range(n):
+            edges = ndi.gaussian_filter(self._scharr(vol[idx]), 1.0)
+            bw = edges > self._otsu(edges)
+            filled = ndi.binary_fill_holes(bw)
+            lab, nlab = ndi.label(filled, structure=np.ones((3, 3)))
+            if nlab == 0:
+                continue
+            areas = np.bincount(lab.ravel())[1:]
+            best = int(np.argmin(np.abs(areas - self.catphan_size))) + 1
+            area = float(areas[best - 1])
+            if not (self.catphan_size / 1.3 < area < self.catphan_size * 1.3):
+                continue
+            cy, cx = ndi.center_of_mass(lab == best)
+            zs.append(idx)
+            cys.append(cy)
+            cxs.append(cx)
+        zs, cxs, cys = map(np.asarray, (zs, cxs, cys))
+        fit_zx = np.poly1d(np.polyfit(zs, cxs, deg=1))
+        fit_zy = np.poly1d(np.polyfit(zs, cys, deg=1))
+        # --- find_origin_slice: every 2nd slice, polar profile --------------
+        theta = np.linspace(0, 2 * np.pi, 720, endpoint=False)
+        radius = 59 / self.mm_per_pixel
+        hu_slices = []
+        for idx in range(0, n, 2):
+            cx, cy = fit_zx(idx), fit_zy(idx)
+            rr = cy + radius * np.sin(theta)
+            cc = cx + radius * np.cos(theta)
+            prof = ndi.map_coordinates(vol[idx], np.vstack([rr, cc]), order=0)
+            low_end, high_end = np.percentile(prof, [2, 98])
+            med = np.median(prof)
+            mid_var = np.percentile(prof, 80) - np.percentile(prof, 20)
+            if (low_end < med - 400) and (high_end > med + 400) and (mid_var < 100):
+                hu_slices.append(idx)
+        origin = int(round(float(np.median(hu_slices)))) if hu_slices else n // 2
+        # --- roll: air bubbles on the origin slice --------------------------
+        sl = vol[origin]
+        edges = ndi.gaussian_filter(self._scharr(sl), 1.0)
+        ndi.label(edges > self._otsu(edges), structure=np.ones((3, 3)))
+        # --- CTP404: HU ROI sampling on the combined origin slice -----------
+        combined = vol[max(origin - 1, 0):origin + 2].mean(axis=0)
+        cy, cx = fit_zy(origin), fit_zx(origin)
+        r_rois = 58.7 / self.mm_per_pixel
+        vals = []
+        yy, xx = np.mgrid[:combined.shape[0], :combined.shape[1]]
+        for ang in np.deg2rad([-87.0, -116.0, 120.0, 60.0, 0.0, 180.0, -60.0]):
+            rcy = cy + r_rois * np.sin(ang)
+            rcx = cx + r_rois * np.cos(ang)
+            m = (yy - rcy) ** 2 + (xx - rcx) ** 2 < (5 / self.mm_per_pixel) ** 2
+            vals.append(np.median(combined[m]))
+        return origin, vals
+
+
+# ===========================================================================
 # Config: 2D gamma kernel (kept from round 1)
 # ===========================================================================
 class GammaConfig:
@@ -409,7 +515,8 @@ NORTH_STAR = ("PicketFence", "CatPhan504")
 
 
 def main() -> None:
-    configs = [PicketFenceConfig(), FieldAnalysisConfig(), GammaConfig()]
+    configs = [PicketFenceConfig(), FieldAnalysisConfig(), CatPhanConfig(),
+               GammaConfig()]
     # optional heavier configs appended as they land
     try:
         from bench_configs import extra_configs  # noqa: F401

