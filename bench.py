@@ -204,7 +204,7 @@ class PicketFenceConfig:
 # ===========================================================================
 class FieldAnalysisConfig:
     name = "FieldAnalysis"
-    n_images = 16
+    n_images = 64
 
     def setup(self):
         from pylinac_tpu.field_analysis import FieldAnalysisBatch

@@ -31,7 +31,12 @@ import numpy as np
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
-_SUPPORTED_TS = {IMPLICIT_VR_LE, EXPLICIT_VR_LE, EXPLICIT_VR_BE}
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+# compressed syntaxes parse as explicit VR LE with encapsulated PixelData
+_COMPRESSED_TS = {RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14}
+_SUPPORTED_TS = {IMPLICIT_VR_LE, EXPLICIT_VR_LE, EXPLICIT_VR_BE} | _COMPRESSED_TS
 
 # UID root used for generated UIDs (the generic "2.25 + uuid" DICOM form).
 def generate_uid() -> str:
@@ -358,8 +363,8 @@ class Dataset:
         if el is None:
             raise AttributeError("Dataset has no PixelData")
         raw = el.value
-        if isinstance(raw, list):  # encapsulated fragments
-            raise InvalidDicomError("Compressed pixel data is not supported")
+        if isinstance(raw, list):  # encapsulated fragments → codec decode
+            return self._decode_compressed(raw)
         bits = int(self.get("BitsAllocated", 16))
         signed = int(self.get("PixelRepresentation", 0)) == 1
         rows = int(self.Rows)
@@ -379,6 +384,48 @@ class Dataset:
         else:
             arr = arr.reshape(nframes, rows, cols) if nframes > 1 else arr.reshape(rows, cols)
         return arr
+
+    def _decode_compressed(self, fragments: list) -> np.ndarray:
+        """Decode encapsulated (compressed) pixel data per the file's
+        transfer syntax (RLE / JPEG Lossless; see ``core/compressed_px``).
+        The reference reads these through pydicom's handlers
+        (``/root/reference/pylinac/core/image.py:1369``)."""
+        from . import compressed_px as cpx
+
+        ts = ""
+        meta = getattr(self, "file_meta", None)
+        if meta is not None:
+            ts = str(meta.get("TransferSyntaxUID", ""))
+        rows = int(self.Rows)
+        cols = int(self.Columns)
+        bits = int(self.get("BitsAllocated", 16))
+        samples = int(self.get("SamplesPerPixel", 1))
+        nframes = int(self.get("NumberOfFrames", 1) or 1)
+        # first fragment is the Basic Offset Table (possibly empty)
+        frags = fragments[1:] if len(fragments) > 1 else fragments
+        if len(frags) < nframes:
+            nframes = len(frags)
+        if ts == cpx.RLE_TS:
+            frames = [cpx.rle_decode_frame(f, rows, cols, bits, samples)
+                      for f in frags[:nframes]]
+        elif ts in (cpx.JPEG_LOSSLESS_SV1_TS, cpx.JPEG_LOSSLESS_TS):
+            # a frame may span multiple fragments; JPEG frames start with SOI
+            joined: list[bytes] = []
+            for f in frags:
+                if f[:2] == b"\xff\xd8" or not joined:
+                    joined.append(f)
+                else:
+                    joined[-1] += f
+            frames = [cpx.jpeg_lossless_decode_fast(f)
+                      for f in joined[:nframes]]
+        else:
+            raise InvalidDicomError(
+                f"Unsupported compressed transfer syntax: {ts}")
+        signed = int(self.get("PixelRepresentation", 0)) == 1
+        out = np.stack(frames) if len(frames) > 1 else frames[0]
+        if signed and out.dtype == np.uint16:
+            out = out.astype(np.int16)
+        return out
 
     def set_pixel_data(self, array: np.ndarray) -> None:
         """Set PixelData + image-pixel module tags from a 2D/3D numpy integer array."""
@@ -707,16 +754,61 @@ def _serialize_dataset(ds: Dataset) -> bytes:
     return out.getvalue()
 
 
-def dcmwrite(path: str | Path | BinaryIO, ds: Dataset) -> None:
-    """Write a dataset as an explicit-VR little-endian DICOM Part-10 file."""
-    body = _serialize_dataset(ds)
+def _encapsulate_pixels(ds: Dataset, transfer_syntax: str) -> bytes:
+    """Encode PixelData frames per ``transfer_syntax`` and return the
+    encapsulated element bytes (BOT item + one item per frame)."""
+    from . import compressed_px as cpx
+
+    arr = ds.pixel_array
+    frames = arr if arr.ndim == 3 else arr[None]
+    if transfer_syntax == RLE_LOSSLESS:
+        encoded = [cpx.rle_encode_frame(f) for f in frames]
+    else:
+        encoded = [cpx.jpeg_lossless_encode(f) for f in frames]
+    out = io.BytesIO()
+    out.write(struct.pack("<HH", 0x7FE0, 0x0010))
+    out.write(b"OB\x00\x00")
+    out.write(struct.pack("<I", 0xFFFFFFFF))
+    # Basic Offset Table (empty)
+    out.write(struct.pack("<HHI", 0xFFFE, 0xE000, 0))
+    for frag in encoded:
+        if len(frag) % 2:
+            frag += b"\x00"
+        out.write(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)))
+        out.write(frag)
+    out.write(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    return out.getvalue()
+
+
+def dcmwrite(path: str | Path | BinaryIO, ds: Dataset,
+             transfer_syntax: str = EXPLICIT_VR_LE) -> None:
+    """Write a dataset as a DICOM Part-10 file.
+
+    ``transfer_syntax`` defaults to explicit-VR little-endian; RLE Lossless
+    and JPEG Lossless (.57/.70) write encapsulated compressed pixel data
+    (codec in ``core/compressed_px``)."""
+    if transfer_syntax in _COMPRESSED_TS:
+        pixel_bytes = _encapsulate_pixels(ds, transfer_syntax)
+        out_body = io.BytesIO()
+        for el in ds:
+            if el.tag >> 16 == 0x0002:
+                continue
+            if el.tag == DICT["PixelData"][0]:
+                out_body.write(pixel_bytes)
+            else:
+                _write_element(out_body, el.tag, el.vr, el.value)
+        body = out_body.getvalue()
+    elif transfer_syntax == EXPLICIT_VR_LE:
+        body = _serialize_dataset(ds)
+    else:
+        raise ValueError(f"dcmwrite cannot encode transfer syntax {transfer_syntax}")
     meta = io.BytesIO()
     sop_class = ds.get("SOPClassUID", "1.2.840.10008.5.1.4.1.1.7")  # Secondary Capture
     sop_inst = ds.get("SOPInstanceUID", generate_uid())
     _write_element(meta, DICT["FileMetaInformationVersion"][0], "OB", b"\x00\x01")
     _write_element(meta, DICT["MediaStorageSOPClassUID"][0], "UI", sop_class)
     _write_element(meta, DICT["MediaStorageSOPInstanceUID"][0], "UI", sop_inst)
-    _write_element(meta, DICT["TransferSyntaxUID"][0], "UI", EXPLICIT_VR_LE)
+    _write_element(meta, DICT["TransferSyntaxUID"][0], "UI", transfer_syntax)
     _write_element(meta, DICT["ImplementationClassUID"][0], "UI", "2.25.4242424242")
     meta_bytes = meta.getvalue()
 

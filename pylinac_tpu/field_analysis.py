@@ -730,9 +730,14 @@ class FieldAnalysisBatch:
             Protocol.NONE: ("difference", "point difference"),
         }[protocol]
 
-        arrays = np.stack([np.asarray(img.array, np.float32) for img in self.images])
+        # stage in the images' native dtype (uint16 halves tunnel bytes);
+        # the kernel casts to f32 on device
+        arrays = np.stack([np.asarray(img.array) for img in self.images])
+        if arrays.dtype.kind == "f" and arrays.dtype.itemsize > 4:
+            arrays = arrays.astype(np.float32)
         if invert:
             # per-image inversion (max+min-a), matching BaseImage.invert
+            arrays = arrays.astype(np.float32)
             mx = arrays.max(axis=(1, 2), keepdims=True)
             mn = arrays.min(axis=(1, 2), keepdims=True)
             arrays = mx + mn - arrays

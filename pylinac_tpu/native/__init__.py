@@ -49,3 +49,49 @@ def load_library(name: str) -> ctypes.CDLL | None:
         except OSError:
             _lib_cache[name] = None
     return _lib_cache[name]
+
+
+def xim_decode_native():
+    """(kept for parity with existing callers; see xim usage)"""
+    return load_library("xim_decode")
+
+
+def jpeg_lossless_native():
+    """ctypes wrapper for the JPEG Lossless decoder, or None.
+
+    Returns a callable ``bytes -> np.ndarray`` (uint16, or uint8 when the
+    codestream precision is 8)."""
+    lib = load_library("jpeg_lossless")
+    if lib is None:
+        return None
+    import numpy as np
+
+    fn = lib.jpegll_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                   ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+                   ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                   ctypes.POINTER(ctypes.c_int)]
+
+    def decode(data: bytes):
+        # size the output exactly via a cheap SOF3 marker scan
+        cap = 8192 * 8192
+        idx = data.find(b"\xff\xc3")
+        if 0 <= idx and idx + 9 < len(data):
+            rows_s = int.from_bytes(data[idx + 5:idx + 7], "big")
+            cols_s = int.from_bytes(data[idx + 7:idx + 9], "big")
+            if rows_s and cols_s:
+                cap = rows_s * cols_s
+        out = np.empty(cap, np.uint16)
+        rows = ctypes.c_int()
+        cols = ctypes.c_int()
+        prec = ctypes.c_int()
+        rc = fn(data, len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), cap,
+                ctypes.byref(rows), ctypes.byref(cols), ctypes.byref(prec))
+        if rc != 0:
+            raise ValueError(f"native JPEG-lossless decode failed (code {rc})")
+        arr = out[:rows.value * cols.value].reshape(rows.value, cols.value).copy()
+        return arr.astype(np.uint8) if prec.value <= 8 else arr
+
+    return decode
