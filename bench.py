@@ -515,6 +515,12 @@ NORTH_STAR = ("PicketFence", "CatPhan504")
 
 
 def main() -> None:
+    # warm the heap: on micro-VM hosts first-touch page faults run at
+    # ~100 MB/s; prefaulting (untimed) keeps the timed runs at memory speed
+    from pylinac_tpu import _hostmem
+
+    _hostmem.prefault(1536)
+
     configs = [PicketFenceConfig(), FieldAnalysisConfig(), CatPhanConfig(),
                GammaConfig()]
     # optional heavier configs appended as they land

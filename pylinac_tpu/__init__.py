@@ -5,6 +5,10 @@ jrkerns/pylinac: TG-142-style QA analysis of linac / CT / MR / NM images,
 with host-side I/O and device-side (TPU) numerics.
 """
 
+from ._hostmem import tune as _tune_host_allocator  # isort: skip
+
+_tune_host_allocator()
+
 from .version import __version__  # isort: skip
 
 from .core import decorators, geometry, image, io, mask, profile, roi, utilities

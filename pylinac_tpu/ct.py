@@ -183,50 +183,77 @@ class ThicknessROI(RectangleROI):
 # --------------------------------------------------------------------------
 # Region finding (device kernels)
 # --------------------------------------------------------------------------
-def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = True,
-                threshold: str = "otsu"):
-    """Scharr-edge → threshold → label/regionprops pipeline
-    (reference ``ct.py:3315``), on the device kernels.
-
-    Returns (labeled_array(None), regions, num_regions)."""
-    if isinstance(slice_or_arr, Slice):
-        arr = slice_or_arr.image.array.astype(float)
-        center = slice_or_arr.image.center
-    else:
-        arr = np.asarray(slice_or_arr, dtype=float)
-        center = Point(int(arr.shape[1] / 2), int(arr.shape[0] / 2))
-    dev = jnp.asarray(arr, jnp.float32)
-    edges = scharr(dev)
-    edges = gaussian_filter(edges, 1.0)
-    if isinstance(slice_or_arr, Slice):
-        radius = 110 / slice_or_arr.mm_per_pixel
+@functools.partial(jax.jit, static_argnames=("K", "use_disk", "use_otsu",
+                                             "scale08", "clear_borders",
+                                             "minmax"))
+def _regions_fused(arr, cy, cx, radius, K: int, use_disk: bool,
+                   use_otsu: bool, scale08: bool, clear_borders: bool,
+                   minmax: bool):
+    """One-dispatch Scharr→threshold→regionprops for a single slice
+    (the eager op-by-op form paid one tunnel round trip per step)."""
+    edges = gaussian_filter(scharr(arr.astype(jnp.float32)), 1.0)
+    if use_disk:
         h, w = arr.shape
-        yy, xx = np.mgrid[:h, :w]
-        disk_mask = ((yy - center.y) ** 2 + (xx - center.x) ** 2) < radius**2
-        vals = np.asarray(edges)[disk_mask]
-        if threshold == "otsu":
-            thres = float(otsu_threshold(jnp.asarray(vals))) * 0.8
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 < radius**2
+        if use_otsu:
+            thres = otsu_threshold(edges, mask=disk)
         else:
-            thres = float(np.mean(vals)) * 0.8
+            thres = (jnp.sum(jnp.where(disk, edges, 0.0))
+                     / jnp.maximum(jnp.sum(disk), 1))
     else:
-        if threshold == "otsu":
-            thres = float(otsu_threshold(edges))
-        else:
-            thres = float(jnp.mean(edges))
+        thres = otsu_threshold(edges) if use_otsu else jnp.mean(edges)
+    if scale08:
+        thres = thres * 0.8
     bw = edges > thres
+    regions = jlabel.regionprops(bw, edges, K=K, connectivity=2, hull=False,
+                                 minmax=minmax)
+    if clear_borders:
+        regions = jlabel.clear_border(regions)
+    return jlabel.pack_regions(regions)
+
+
+def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = True,
+                threshold: str = "otsu", minmax: bool = True):
+    """Scharr-edge → threshold → label/regionprops pipeline
+    (reference ``ct.py:3315``), fused into ONE device dispatch.
+
+    Returns (labeled_array(None), regions, num_regions). ``minmax=False``
+    skips the bbox/min-max reductions for callers that don't read them
+    (see :func:`pylinac_tpu.ops.label.regionprops`).
+    """
+    if isinstance(slice_or_arr, Slice):
+        arr = slice_or_arr.image.array
+        center = slice_or_arr.image.center
+        use_disk = True
+        radius = 110 / slice_or_arr.mm_per_pixel
+        scale08 = True
+    else:
+        arr = np.asarray(slice_or_arr)
+        center = Point(int(arr.shape[1] / 2), int(arr.shape[0] / 2))
+        use_disk = False
+        radius = 0.0
+        scale08 = False
+    dev = jnp.asarray(np.asarray(arr, np.float32))
     # escalate K when the fixed slots fill up (more regions than slots means
     # silent truncation that drops regions by position)
     K = 32
     while True:
-        regions = jlabel.regionprops(bw, edges, K=K, connectivity=2, hull=False)
-        host = jlabel.regions_to_host(regions)
+        packed = _regions_fused(
+            dev, jnp.float32(center.y), jnp.float32(center.x),
+            jnp.float32(radius), K=K, use_disk=use_disk,
+            use_otsu=threshold == "otsu", scale08=scale08,
+            clear_borders=False, minmax=minmax)
+        host = jlabel.regions_to_host(packed)
         if host.valid.sum() < K or K >= 512:
             break
         K *= 4
     if clear_borders:
-        regions = jlabel.clear_border(regions)
-        host = jlabel.regions_to_host(regions)
-    views = [RegionView(host, i) for i in np.nonzero(host.valid)[0]]
+        keep = host.valid & ~host.touches_border
+    else:
+        keep = host.valid
+    views = [RegionView(host, i) for i in np.nonzero(keep)[0]]
     return None, views, len(views)
 
 
@@ -1169,29 +1196,39 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         checks as :meth:`Slice.phantom_roi`, or None to request the
         per-slice fallback (fixed-K region overflow). Returns None outright
         if the stack couldn't be batched (heterogeneous shapes)."""
-        try:
-            vol = np.stack([img.array for img in self.dicom_stack]).astype(np.float32)
-        except ValueError:
-            return None
-        ds = self.localization_downsample
-        if ds > 1 and vol.shape[1] % ds == 0 and vol.shape[2] % ds == 0:
-            n, h, w = vol.shape
-            vol_loc = vol.reshape(n, h // ds, ds, w // ds, ds).mean(axis=(2, 4))
-        else:
-            ds = 1
-            vol_loc = vol
-        if self.clip_in_localization:
-            clipped = np.clip(vol_loc, -1000, 1000)
-        else:
-            clipped = vol_loc
+        cache = getattr(self, "_loc_dev_cache", None)
+        if cache is None:
+            try:
+                vol = np.stack([img.array for img in self.dicom_stack]
+                               ).astype(np.float32)
+            except ValueError:
+                return None
+            ds = self.localization_downsample
+            if ds > 1 and vol.shape[1] % ds == 0 and vol.shape[2] % ds == 0:
+                n, h, w = vol.shape
+                vol_loc = vol.reshape(n, h // ds, ds, w // ds, ds
+                                      ).mean(axis=(2, 4))
+            else:
+                ds = 1
+                vol_loc = vol
+            if self.clip_in_localization:
+                clipped = np.clip(vol_loc, -1000, 1000)
+            else:
+                clipped = vol_loc
+            # device-resident across analyze() calls of this object: the
+            # stack/pool/H2D staging is paid once per loaded scan
+            cache = (ds, vol.shape[0], jnp.asarray(clipped),
+                     jnp.asarray(vol_loc))
+            self._loc_dev_cache = cache
+        ds, n_slices, clipped_dev, vol_loc_dev = cache
         K = 32
         packed, max_edges = _stack_phantom_regions(
-            jnp.asarray(clipped), jnp.asarray(vol_loc), K, self.clear_borders)
+            clipped_dev, vol_loc_dev, K, self.clear_borders)
         host = jlabel.regions_to_host(packed)
         max_edges = np.asarray(jnp.ravel(max_edges))
         expected_area = self.catphan_size / ds**2
         out = []
-        for idx in range(vol.shape[0]):
+        for idx in range(n_slices):
             if max_edges[idx] < 0.1:
                 out.append((np.nan, np.nan))  # "no edges" per-slice error
                 continue
@@ -1291,7 +1328,9 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         slice_offset = round(self.roll_slice_offset / self.dicom_stack.slice_spacing)
         slice_num = self.origin_slice + slice_offset
         slc = Slice(self, slice_num, clear_borders=self.clear_borders)
-        _, regions, _ = get_regions(slc)
+        # bbox/min-max skipped unless a caller-provided sort key needs them
+        # (e.g. ACR sorts bubbles by bbox_area)
+        _, regions, _ = get_regions(slc, minmax=func is not None)
         hu_bubbles = [r for r in regions
                       if self._is_right_area(r) and self._is_right_eccentricity(r)]
         func = func or (lambda x: abs(x.centroid[1] - slc.phan_center.x))

@@ -212,6 +212,11 @@ def fill_holes(mask: jnp.ndarray, max_iter: int = 512) -> jnp.ndarray:
     """scipy.ndimage.binary_fill_holes equivalent: background components not
     touching the border are holes."""
     h, w = mask.shape
+    if jax.default_backend() == "tpu":
+        from .pallas_label import flood_from_border, label_pallas_supported
+
+        if label_pallas_supported((h, w)):
+            return mask | (flood_from_border(mask) == 0)
     bg_lab = label(~mask, connectivity=1, max_iter=max_iter)
     r = jnp.arange(h)[:, None]
     c = jnp.arange(w)[None, :]
@@ -322,13 +327,25 @@ def regionprops(
     # leftmost pixel — and since component labels are root (minimum) linear
     # indices, that pixel's index is the hole's label itself.
     bg_lab = label(~mask, connectivity=1, max_iter=max_iter)
-    rr_i = jnp.arange(h)[:, None]
-    cc_i = jnp.arange(w)[None, :]
-    on_border_2d = (rr_i == 0) | (rr_i == h - 1) | (cc_i == 0) | (cc_i == w - 1)
-    border_flags = jnp.zeros(h * w + 1, dtype=bool)
-    border_bg = jnp.where(on_border_2d & (bg_lab >= 0), bg_lab, h * w)
-    border_flags = border_flags.at[border_bg.ravel()].set(True)
-    is_hole = (bg_lab >= 0) & ~border_flags[jnp.clip(bg_lab, 0, h * w)]
+    if on_tpu:
+        from .pallas_label import flood_from_border, label_pallas_supported
+
+        tpu_flood = label_pallas_supported((h, w))
+    else:
+        tpu_flood = False
+    if tpu_flood:
+        # border-reachability directly from the pallas flood kernel — the
+        # scatter below serializes on the TPU scalar unit
+        is_hole = ~mask & (flood_from_border(mask) == 0)
+    else:
+        rr_i = jnp.arange(h)[:, None]
+        cc_i = jnp.arange(w)[None, :]
+        on_border_2d = ((rr_i == 0) | (rr_i == h - 1)
+                        | (cc_i == 0) | (cc_i == w - 1))
+        border_flags = jnp.zeros(h * w + 1, dtype=bool)
+        border_bg = jnp.where(on_border_2d & (bg_lab >= 0), bg_lab, h * w)
+        border_flags = border_flags.at[border_bg.ravel()].set(True)
+        is_hole = (bg_lab >= 0) & ~border_flags[jnp.clip(bg_lab, 0, h * w)]
     flat_region_lab = lab.ravel()
     hole_root = jnp.clip(bg_lab.ravel(), 0, h * w - 1)
     above_idx = jnp.clip(hole_root - w, 0, h * w - 1)

@@ -153,6 +153,70 @@ def label_pallas_batch(masks: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray
     )(masks.astype(jnp.int32))
 
 
+def _flood_kernel(mask_ref, out_ref, *, h: int, w: int):
+    """Flood the background from the image border (4-connectivity).
+
+    Writes an int32 mask: 1 where a background pixel is reachable from the
+    border, 0 elsewhere. ``bg & ~reached`` is exactly the hole set that
+    ``fill``/``regionprops`` need — computed without the background label
+    pass + host-style scatter of the XLA formulation.
+    """
+    fg = mask_ref[:].reshape(h, w) != 0
+    bg = jnp.logical_not(fg)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (row == 0) | (row == h - 1) | (col == 0) | (col == w - 1)
+    big = jnp.int32(2)
+    # 0 = reached, 1 = unreached bg, 2 = fg (blocks propagation)
+    v0 = jnp.where(bg, jnp.where(border, 0, 1), big)
+
+    def seg_sweep(vals, axis: int, sign: int):
+        shift = _shift_rows if axis == 0 else _shift_cols
+        v = vals
+        reach = bg.astype(jnp.int32)
+        d = 1
+        n = h if axis == 0 else w
+        while d < n:
+            sv = shift(v, sign * d, big)
+            sr = shift(reach, sign * d, jnp.int32(0))
+            both = (reach & sr) != 0
+            v = jnp.where(both, jnp.minimum(v, sv), v)
+            reach = reach & sr
+            d *= 2
+        return v
+
+    def body(state):
+        v, _, it = state
+        best = v
+        for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+            best = jnp.minimum(best, _shift2(v, dy, dx, big))
+        best = jnp.where(bg, best, big)
+        for axis in (0, 1):
+            for sign in (1, -1):
+                best = jnp.minimum(best, seg_sweep(best, axis, sign))
+        best = jnp.where(bg, best, big)
+        return best, jnp.any(best != v), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < MAX_ITERS)
+
+    v, _, _ = jax.lax.while_loop(cond, body, (v0, jnp.bool_(True), 0))
+    out_ref[:] = (jnp.where(bg, v, big) == 0).astype(jnp.int32).reshape(out_ref.shape)
+
+
+def flood_from_border(mask: jnp.ndarray) -> jnp.ndarray:
+    """Traceable: bool (H, W) fg mask → int32 1 where bg is border-reachable."""
+    h, w = mask.shape
+    kern = functools.partial(_flood_kernel, h=h, w=w)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(mask.astype(jnp.int32))
+
+
 def label_pallas_supported(shape: tuple[int, int]) -> bool:
     """VMEM budget check: lab + scratch + mask must fit in ~16 MB."""
     h, w = shape

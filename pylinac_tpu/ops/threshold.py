@@ -10,16 +10,38 @@ import jax
 import jax.numpy as jnp
 
 
-def otsu_threshold(image: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
+def otsu_threshold(image: jnp.ndarray, nbins: int = 256,
+                   mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Otsu's threshold (skimage.filters.threshold_otsu semantics: histogram
-    over [min, max] with `nbins` bins; returns the bin *center*)."""
+    over [min, max] with `nbins` bins; returns the bin *center*).
+
+    ``mask`` (same shape, bool) restricts the histogram to selected pixels
+    — equivalent to ``otsu_threshold(image[mask])`` but jit-friendly."""
     flat = image.ravel().astype(jnp.float32)
-    vmin = jnp.min(flat)
-    vmax = jnp.max(flat)
+    if mask is not None:
+        m = mask.ravel()
+        big = jnp.inf
+        vmin = jnp.min(jnp.where(m, flat, big))
+        vmax = jnp.max(jnp.where(m, flat, -big))
+        weights = m.astype(jnp.float32)
+    else:
+        vmin = jnp.min(flat)
+        vmax = jnp.max(flat)
+        weights = jnp.ones_like(flat)
     span = jnp.maximum(vmax - vmin, 1e-20)
     # histogram
     idx = jnp.clip(((flat - vmin) / span * nbins).astype(jnp.int32), 0, nbins - 1)
-    hist = jax.ops.segment_sum(jnp.ones_like(flat), idx, num_segments=nbins)
+    if jax.default_backend() == "tpu":
+        # scatters serialize on the TPU scalar unit; ride the MXU instead:
+        # hist = onehot(idx)^T @ weights in one matmul
+        onehot = (idx[:, None] == jnp.arange(nbins, dtype=idx.dtype)[None, :]
+                  ).astype(jnp.float32)
+        hist = jax.lax.dot_general(
+            onehot, weights[:, None],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]
+    else:
+        hist = jax.ops.segment_sum(weights, idx, num_segments=nbins)
     bin_centers = vmin + (jnp.arange(nbins, dtype=jnp.float32) + 0.5) * span / nbins
 
     w1 = jnp.cumsum(hist)

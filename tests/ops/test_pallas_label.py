@@ -65,3 +65,21 @@ def test_supported_budget():
     assert plab.label_pallas_supported((256, 256))
     assert not plab.label_pallas_supported((4096, 4096))
     assert not plab.label_pallas_supported((50, 50))  # sub-tile: fallback
+
+
+@pytest.mark.parametrize("name", ["speckle", "ring+noise", "spiral", "empty", "full"])
+def test_flood_from_border_matches_fill(name):
+    """flood==0 outside fg must equal the hole set of the XLA fill path."""
+    mask = _masks()[name]
+    h, w = mask.shape
+    kern = functools.partial(plab._flood_kernel, h=h, w=w)
+    reached = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=True,
+    )(jnp.asarray(mask, jnp.int32))
+    m = jnp.asarray(mask)
+    holes_pallas = ~m & (reached == 0)
+    filled = jlabel.fill_holes(m)  # CPU: XLA scatter path
+    holes_ref = filled & ~m
+    assert bool(jnp.all(holes_pallas == holes_ref)), name
