@@ -922,29 +922,39 @@ class LogBase:
 
 
 class DynalogHeader(Structure):
+    """The six fixed header rows of a Dynalog A-file (CSV rows 0-5):
+    version, patient name, plan filename, tolerance, leaf-bank count,
+    clinac scale. Row order is the Varian file format."""
+
     def __init__(self, dlogdata):
-        c = itertools.count()
+        version, patient, plan, tol, banks, scale = dlogdata[:6]
         super().__init__(
-            version=str(dlogdata[next(c)]),
-            patient_name=dlogdata[next(c)],
-            plan_filename=dlogdata[next(c)],
-            tolerance=int(dlogdata[next(c)][0]),
-            num_mlc_leaves=int(dlogdata[next(c)][0]) * 2,
-            clinac_scale=int(dlogdata[next(c)][0]))
+            version=str(version),
+            patient_name=patient,
+            plan_filename=plan,
+            tolerance=int(tol[0]),
+            num_mlc_leaves=int(banks[0]) * 2,  # per-bank count in the file
+            clinac_scale=int(scale[0]))
 
 
 class DynalogAxisData:
     """Dynalog snapshot columns (reference ``log_analyzer.py:1795``)."""
 
+    #: snapshot-row layout of the Dynalog A-file: column → (name, scale).
+    #: Angles are stored in tenths of a degree, carriages in microns.
+    COLUMNS = (
+        ("mu", 1), ("previous_segment_num", 1), ("beam_hold", 1),
+        ("beam_on", 1), ("prior_dose_index", 1), ("next_dose_index", 1),
+        ("gantry", 0.1), ("collimator", 0.1),
+        ("jaw_y1", 0.1), ("jaw_y2", 0.1), ("jaw_x1", 0.1), ("jaw_x2", 0.1),
+        ("carriage_A", 1e-3), ("carriage_B", 1e-3),
+    )
+
     def __init__(self, log, dlogdata):
         snapshot_data = np.array(dlogdata[6:], dtype=np.float64).transpose()
         self.num_snapshots = np.size(snapshot_data, 1)
-        c = itertools.count()
-
-        def nx():
-            return snapshot_data[next(c)]
-
-        mu = nx()
+        cols = {name: snapshot_data[i] * scale
+                for i, (name, scale) in enumerate(self.COLUMNS)}
 
         def correct_vmat_mu(mu_array):
             # VMAT dynalogs record gantry angle in the MU column; convert the
@@ -956,22 +966,17 @@ class DynalogAxisData:
                 [[0], np.cumsum(abs_diff) / np.sum(abs_diff)]) * 25000
             return cum
 
-        corrected_mu = correct_vmat_mu(mu)
+        corrected_mu = correct_vmat_mu(cols["mu"])
         self.mu = Axis(corrected_mu, corrected_mu)
-        self.previous_segment_num = Axis(nx())
-        self.beam_hold = Axis(nx())
-        self.beam_on = Axis(nx())
-        self.prior_dose_index = Axis(nx())
-        self.next_dose_index = Axis(nx())
-        self.gantry = GantryAxis(nx() / 10)
-        self.collimator = HeadAxis(nx() / 10)
-        jaw_y1 = HeadAxis(nx() / 10)
-        jaw_y2 = HeadAxis(nx() / 10)
-        jaw_x1 = HeadAxis(nx() / 10)
-        jaw_x2 = HeadAxis(nx() / 10)
-        self.jaws = JawStruct(jaw_x1, jaw_y1, jaw_x2, jaw_y2)
-        self.carriage_A = Axis(nx() / 1000)
-        self.carriage_B = Axis(nx() / 1000)
+        for name in ("previous_segment_num", "beam_hold", "beam_on",
+                     "prior_dose_index", "next_dose_index"):
+            setattr(self, name, Axis(cols[name]))
+        self.gantry = GantryAxis(cols["gantry"])
+        self.collimator = HeadAxis(cols["collimator"])
+        self.jaws = JawStruct(HeadAxis(cols["jaw_x1"]), HeadAxis(cols["jaw_y1"]),
+                              HeadAxis(cols["jaw_x2"]), HeadAxis(cols["jaw_y2"]))
+        self.carriage_A = Axis(cols["carriage_A"])
+        self.carriage_B = Axis(cols["carriage_B"])
         if log.exclude_beam_off:
             hold_idx = np.where(self.beam_hold.actual == 0)[0]
             beamon_idx = np.where(self.beam_on.actual == 1)[0]
@@ -1117,42 +1122,54 @@ class Dynalog(LogBase):
 class TrajectoryLogAxisData:
     """Trajectory log snapshot columns (reference ``log_analyzer.py:2176``)."""
 
+    #: machine-axis order of a trajectory-log snapshot row. Each axis
+    #: occupies two floats (expected, actual), so axis i starts at column
+    #: 2*i. Couch pitch/roll exist from format v3.0 on; leaf axes follow
+    #: immediately after the listed axes (consumed by MLC.from_tlog).
+    AXES = (
+        ("collimator", HeadAxis), ("gantry", GantryAxis),
+        ("jaw_y1", HeadAxis), ("jaw_y2", HeadAxis),
+        ("jaw_x1", HeadAxis), ("jaw_x2", HeadAxis),
+        ("couch_vrt", CouchAxis), ("couch_lng", CouchAxis),
+        ("couch_lat", CouchAxis), ("couch_rtn", CouchAxis),
+    )
+    AXES_V3 = (("couch_pitch", CouchAxis), ("couch_roll", CouchAxis))
+    AXES_TAIL = (
+        ("mu", BeamAxis), ("beam_hold", BeamAxis),
+        ("control_point", BeamAxis),
+        ("carriage_A", HeadAxis), ("carriage_B", HeadAxis),
+    )
+
     def __init__(self, log, file, subbeams):
         step_size = int(np.sum(log.header.samples_per_axis)) * 2
         snapshot_data = decode_binary(
             file, float, step_size * log.header.num_snapshots)
         snapshot_data = np.asarray(snapshot_data).reshape(
             log.header.num_snapshots, -1)
-        clm_iter = itertools.count(step=2)
-        self.collimator = _get_axis(snapshot_data, next(clm_iter), HeadAxis)
-        self.gantry = _get_axis(snapshot_data, next(clm_iter), GantryAxis)
-        jaw_y1 = _get_axis(snapshot_data, next(clm_iter), HeadAxis)
-        jaw_y2 = _get_axis(snapshot_data, next(clm_iter), HeadAxis)
-        jaw_x1 = _get_axis(snapshot_data, next(clm_iter), HeadAxis)
-        jaw_x2 = _get_axis(snapshot_data, next(clm_iter), HeadAxis)
-        self.jaws = JawStruct(jaw_x1, jaw_y1, jaw_x2, jaw_y2)
-        vrt = _get_axis(snapshot_data, next(clm_iter), CouchAxis)
-        lng = _get_axis(snapshot_data, next(clm_iter), CouchAxis)
-        lat = _get_axis(snapshot_data, next(clm_iter), CouchAxis)
-        rtn = _get_axis(snapshot_data, next(clm_iter), CouchAxis)
-        if log.header.version >= 3:
-            pitch = _get_axis(snapshot_data, next(clm_iter), CouchAxis)
-            roll = _get_axis(snapshot_data, next(clm_iter), CouchAxis)
-        else:
-            pitch = None
-            roll = None
-        self.couch = CouchStruct(vrt, lng, lat, rtn, pitch, roll)
-        self.mu = _get_axis(snapshot_data, next(clm_iter), BeamAxis)
-        self.beam_hold = _get_axis(snapshot_data, next(clm_iter), BeamAxis)
-        self.control_point = _get_axis(snapshot_data, next(clm_iter), BeamAxis)
-        self.carriage_A = _get_axis(snapshot_data, next(clm_iter), HeadAxis)
-        self.carriage_B = _get_axis(snapshot_data, next(clm_iter), HeadAxis)
+        layout = self.AXES + (self.AXES_V3 if log.header.version >= 3
+                              else ()) + self.AXES_TAIL
+        ax = {name: _get_axis(snapshot_data, 2 * i, kind)
+              for i, (name, kind) in enumerate(layout)}
+        self.collimator = ax["collimator"]
+        self.gantry = ax["gantry"]
+        self.jaws = JawStruct(ax["jaw_x1"], ax["jaw_y1"],
+                              ax["jaw_x2"], ax["jaw_y2"])
+        self.couch = CouchStruct(
+            ax["couch_vrt"], ax["couch_lng"], ax["couch_lat"],
+            ax["couch_rtn"], ax.get("couch_pitch"), ax.get("couch_roll"))
+        self.mu = ax["mu"]
+        self.beam_hold = ax["beam_hold"]
+        self.control_point = ax["control_point"]
+        self.carriage_A = ax["carriage_A"]
+        self.carriage_B = ax["carriage_B"]
         if log.exclude_beam_off:
             snapshot_idx = np.where(self.beam_hold.actual == 0)[0]
         else:
             snapshot_idx = list(range(log.header.num_snapshots))
+        # leaf axes start right after the machine axes
+        leaf_iter = itertools.count(start=2 * len(layout), step=2)
         self.mlc = MLC.from_tlog(log, subbeams, self.jaws, snapshot_data,
-                                 snapshot_idx, clm_iter)
+                                 snapshot_idx, leaf_iter)
 
 
 class TrajectoryLogHeader:

@@ -77,7 +77,9 @@ def _distance_filter(pos: jnp.ndarray, val: jnp.ndarray, valid: jnp.ndarray,
         within = (jnp.abs(pos - pos[j]) < distance) & (slots != j)
         return jnp.where(cond & within, False, keep)
 
-    keep = jax.lax.fori_loop(0, K, body, jnp.ones(K, dtype=bool))
+    # all-True carry derived from `valid` (not a fresh constant) so its
+    # varying-manual-axes type matches under shard_map
+    keep = jax.lax.fori_loop(0, K, body, valid | ~valid)
     return valid & keep
 
 

@@ -2,6 +2,16 @@ from .mesh import (
     QABatchRunner,
     sharded_batch_metrics,
     sharded_ct_localization,
+    sharded_gamma_2d,
+    sharded_picket_fence,
+    sharded_wl_centroids,
 )
 
-__all__ = ["QABatchRunner", "sharded_batch_metrics", "sharded_ct_localization"]
+__all__ = [
+    "QABatchRunner",
+    "sharded_batch_metrics",
+    "sharded_ct_localization",
+    "sharded_gamma_2d",
+    "sharded_picket_fence",
+    "sharded_wl_centroids",
+]

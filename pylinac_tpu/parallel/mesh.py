@@ -46,7 +46,7 @@ def sharded_batch_metrics(images: jnp.ndarray, mesh: Mesh,
     n_total = images.shape[0]
     if n_valid is None:
         n_valid = n_total
-    n_dev = len(mesh.devices.ravel())
+    n_dev = mesh.shape["data"]  # only the data axis shards the batch
     per_shard = n_total // n_dev
 
     @functools.partial(
@@ -115,7 +115,110 @@ def sharded_ct_localization(volume: jnp.ndarray, mesh: Mesh):
             fits.append(coef)
         return jnp.stack(fits)  # (2, 2): [slope, intercept] for y and x
 
+    n_dev = len(mesh.devices.ravel())
+    z = volume.shape[0]
+    pad = (-z) % n_dev
+    if pad:
+        # zero slices produce invalid regions -> zero fit weight, so an
+        # uneven final shard costs nothing but the padding itself
+        volume = jnp.concatenate(
+            [volume, jnp.zeros((pad, *volume.shape[1:]), volume.dtype)])
     sharded = jax.device_put(volume, NamedSharding(mesh, P("data")))
+    return jax.jit(_run)(sharded)
+
+
+def sharded_picket_fence(images: jnp.ndarray, cfg, params, mesh: Mesh,
+                         **static):
+    """The REAL fused picket-fence pipeline
+    (:func:`pylinac_tpu.ops.picket_pipeline.picket_fence_image`) run
+    data-parallel: the image batch shards over the mesh's ``data`` axis and
+    every chip analyzes its shard with the product kernel — per-image
+    results bit-match the single-device batch path."""
+    from ..ops.picket_pipeline import picket_fence_image
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"), P(), P()),
+        out_specs=P("data"),
+    )
+    def _run(local_images, cfg_rep, params_rep):
+        single = functools.partial(picket_fence_image, cfg=cfg_rep,
+                                   params=params_rep, **static)
+        return jax.vmap(single)(local_images)
+
+    sharded = jax.device_put(images, NamedSharding(mesh, P("data")))
+    return jax.jit(_run)(sharded, cfg, params)
+
+
+def sharded_gamma_2d(refs: jnp.ndarray, evals: jnp.ndarray, mesh: Mesh,
+                     **gamma_kwargs):
+    """Batched 2D gamma (Low 2004 brute force) sharded over image pairs."""
+    from ..ops.gamma import gamma_2d
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+    )
+    def _run(local_r, local_e):
+        def one(r, e):
+            return gamma_2d(r.astype(jnp.float32), e.astype(jnp.float32),
+                            **gamma_kwargs)
+        return jax.vmap(one)(local_r, local_e)
+
+    shard = NamedSharding(mesh, P("data"))
+    return jax.jit(_run)(jax.device_put(refs, shard),
+                         jax.device_put(evals, shard))
+
+
+def sharded_wl_centroids(images: jnp.ndarray, mesh: Mesh,
+                         bb_window_px: int = 24):
+    """Winston-Lutz per-image field-CAX + BB centroiding sharded over the
+    image-set axis; centroids are all-gathered so the (tiny) 3D solves can
+    run on the full set (SURVEY §2.5: WL image sets shard over images).
+
+    Per image (the same physics as ``WLBaseImage.analyze``): the open-field
+    centroid from the 50%-threshold mask with holes filled, then the BB as
+    the intensity-weighted centroid of the inverted signal in a window
+    around the field CAX. Returns (N, 4): field_y, field_x, bb_y, bb_x.
+    """
+    from ..ops.label import fill_holes
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def _run(local_images):
+        def one(img):
+            img = img.astype(jnp.float32)
+            img = img - jnp.min(img)
+            h, w = img.shape
+            yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+            xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+            # field: 50% threshold -> fill -> center of mass
+            field = fill_holes(img > 0.5 * jnp.max(img))
+            fmass = jnp.maximum(jnp.sum(field), 1.0)
+            fy = jnp.sum(field * yy) / fmass
+            fx = jnp.sum(field * xx) / fmass
+            # BB: inverted-signal weighted centroid in a window at the CAX
+            half = bb_window_px
+            inv = jnp.where(field, jnp.max(img) - img, 0.0)
+            in_win = ((jnp.abs(yy - fy) <= half) & (jnp.abs(xx - fx) <= half))
+            wgt = jnp.where(in_win, inv, 0.0)
+            # subtract the in-window floor so the flat field doesn't bias
+            floor = jnp.min(jnp.where(in_win, inv, jnp.inf))
+            wgt = jnp.where(in_win, jnp.maximum(wgt - floor, 0.0), 0.0)
+            bmass = jnp.maximum(jnp.sum(wgt), 1e-6)
+            by = jnp.sum(wgt * yy) / bmass
+            bx = jnp.sum(wgt * xx) / bmass
+            return jnp.stack([fy, fx, by, bx])
+
+        local = jax.vmap(one)(local_images)
+        return jax.lax.all_gather(local, axis_name="data", tiled=True)
+
+    sharded = jax.device_put(images, NamedSharding(mesh, P("data")))
     return jax.jit(_run)(sharded)
 
 
