@@ -290,6 +290,164 @@ class FieldAnalysisConfig:
 
 
 # ===========================================================================
+# Config: Starshot
+# ===========================================================================
+class StarshotConfig:
+    name = "Starshot"
+    n_images = 4
+
+    def setup(self):
+        import sys
+        sys.path.insert(0, ".")
+        from pathlib import Path
+
+        from tests.models.test_starshot import make_starshot
+
+        from pylinac_tpu.starshot import Starshot
+
+        tmp = Path(tempfile.mkdtemp())
+        self.paths = []
+        for i in range(self.n_images):
+            d = tmp / f"s{i}"
+            d.mkdir()
+            self.paths.append(make_starshot(d, n_spokes=5,
+                                            angles_offset=10.0 + i))
+        self.stars = [Starshot(p) for p in self.paths]
+        self.arrays = [np.asarray(s.image.array, np.float64)
+                       for s in self.stars]
+        self.dpmm = float(self.stars[0].image.dpmm)
+
+    def run_tpu(self):
+        out = []
+        for s in self.stars:
+            s.analyze()
+            out.append(s.results_data())
+        return out
+
+    def run_baseline_one(self, i: int):
+        """Reference Starshot semantics in numpy/scipy (starshot.py:230):
+        ground+start point, collapsed circle profile via map_coordinates,
+        gaussian filter, FWHM spoke peaks, line pairing, Nelder-Mead
+        wobble minimization."""
+        import scipy.optimize as spo
+
+        arr = self.arrays[i].copy()
+        arr -= arr.min()
+        # start point: FW80M of central-third max-profiles
+        h, w = arr.shape
+        vert = arr[:, w // 3: 2 * w // 3].max(axis=1)
+        horiz = arr[h // 3: 2 * h // 3, :].max(axis=0)
+        cy = int(np.argmax(vert >= 0.8 * vert.max()))
+        cx = int(np.argmax(horiz >= 0.8 * horiz.max()))
+        cy = (cy + len(vert) - int(np.argmax(vert[::-1] >= 0.8 * vert.max())))\
+            // 2
+        cx = (cx + len(horiz) - int(np.argmax(horiz[::-1] >= 0.8 * horiz.max())))\
+            // 2
+        # collapsed circle profile: 20 radii averaged, 3x sampling
+        radius = 0.85 * min(h, w) / 2 * 0.1 * 10  # mimic radius sweep extent
+        radius = min(radius, min(cy, cx, h - cy, w - cx) - 2)
+        n_samp = int(2 * np.pi * radius * 3)
+        theta = np.linspace(0, 2 * np.pi, n_samp, endpoint=False)
+        prof = np.zeros(n_samp)
+        for k, frac in enumerate(np.linspace(0.95, 1.05, 20)):
+            rr = cy + radius * frac * np.sin(theta)
+            cc = cx + radius * frac * np.cos(theta)
+            prof += ndi.map_coordinates(arr, np.vstack([rr, cc]), order=0)
+        prof /= 20
+        prof = ndi.gaussian_filter1d(prof, 3)
+        # FWHM peaks
+        height = prof.min() + 0.7 * np.ptp(prof)
+        pk, _ = sps.find_peaks(prof, height=height,
+                               distance=int(0.02 * n_samp))
+        # pair opposing peaks into lines, minimize max point-line distance
+        npk = (len(pk) // 2) * 2
+        pts = []
+        for j in range(npk):
+            ang = theta[pk[j]]
+            pts.append((cx + radius * np.cos(ang), cy + radius * np.sin(ang)))
+        pts = np.asarray(pts)
+        lines = [(pts[j], pts[j + npk // 2]) for j in range(npk // 2)]
+
+        def max_dist(p):
+            dists = []
+            for (p1, p2) in lines:
+                d = np.abs(np.cross(p2 - p1, p - p1)) / np.linalg.norm(p2 - p1)
+                dists.append(d)
+            return max(dists)
+
+        res = spo.minimize(max_dist, np.array([cx, cy], float),
+                           method="Nelder-Mead", options={"fatol": 1e-3})
+        return res.x, res.fun
+
+
+# ===========================================================================
+# Config: WinstonLutz
+# ===========================================================================
+class WinstonLutzConfig:
+    name = "WinstonLutz"
+    n_images = 8
+
+    def setup(self):
+        from pylinac_tpu.imggen.layers import (
+            GaussianFilterLayer,
+            PerfectFieldLayer,
+        )
+        from pylinac_tpu.imggen.simulators import AS1200Image
+        from pylinac_tpu.imggen.utils import generate_winstonlutz
+        from pylinac_tpu.winston_lutz import WinstonLutz
+
+        tmp = tempfile.mkdtemp()
+        axes = [(g, c, 0) for g in (0, 90, 180, 270) for c in (0, 90)]
+        generate_winstonlutz(
+            simulator=AS1200Image(sid=1000), field_layer=PerfectFieldLayer,
+            final_layers=[GaussianFilterLayer(sigma_mm=1)], dir_out=tmp,
+            image_axes=axes, offset_mm_left=0.5, offset_mm_up=0.3)
+        self.wl = WinstonLutz(tmp)
+        self.arrays = [np.asarray(img.array, np.float64)
+                       for img in self.wl.images]
+        self.dpmm = float(self.wl.images[0].dpmm)
+
+    def run_tpu(self):
+        self.wl.analyze()
+        return self.wl.results_data()
+
+    def run_baseline_one(self, i: int):
+        """Reference WL per-image semantics in numpy/scipy
+        (winston_lutz.py:668): histogram inversion check, ground/normalize,
+        field centroid via 50% threshold + fill + center-of-mass, BB via
+        the multi-threshold find_features scan (metrics/utils.py:66 — 50
+        label/regionprops passes over the search window)."""
+        arr = self.arrays[i].copy()
+        p5, p50, p95 = np.percentile(arr, [5, 50, 95])
+        if abs(p50 - p5) > abs(p50 - p95):
+            arr = arr.max() + arr.min() - arr
+        arr -= arr.min()
+        arr /= arr.max()
+        # field centroid
+        thresh = arr > 0.5
+        filled = ndi.binary_fill_holes(thresh)
+        fy, fx = ndi.center_of_mass(filled)
+        # BB search window around the CAX (physical ~20 mm)
+        half = int(10 * self.dpmm)
+        win = arr[int(fy) - half: int(fy) + half,
+                  int(fx) - half: int(fx) + half]
+        inv = win.max() - win
+        found = None
+        for frac in np.linspace(0.05, 0.95, 50):
+            bw = inv > inv.min() + frac * np.ptp(inv)
+            lab, n = ndi.label(bw)
+            if n == 0:
+                continue
+            sizes = np.bincount(lab.ravel())[1:]
+            expected = np.pi * (2.5 * self.dpmm) ** 2
+            cands = [k + 1 for k, s in enumerate(sizes)
+                     if expected / 2 < s < expected * 2]
+            if cands:
+                found = ndi.center_of_mass(inv, lab, cands[0])
+        return fy, fx, found
+
+
+# ===========================================================================
 # Config: CatPhan504 (north-star pair with PicketFence)
 # ===========================================================================
 class CatPhanConfig:
@@ -521,8 +679,8 @@ def main() -> None:
 
     _hostmem.prefault(1536)
 
-    configs = [PicketFenceConfig(), FieldAnalysisConfig(), CatPhanConfig(),
-               GammaConfig()]
+    configs = [PicketFenceConfig(), FieldAnalysisConfig(), StarshotConfig(),
+               WinstonLutzConfig(), CatPhanConfig(), GammaConfig()]
     # optional heavier configs appended as they land
     try:
         from bench_configs import extra_configs  # noqa: F401

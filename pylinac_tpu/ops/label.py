@@ -61,14 +61,27 @@ def label(mask: jnp.ndarray, connectivity: int = 1, max_iter: int = 512) -> jnp.
     On TPU, images that fit the VMEM budget dispatch to the Pallas kernel
     (:mod:`.pallas_label`) — the whole iterate-until-converged sweep runs
     on-chip with HBM touched only at entry/exit (~80x the XLA formulation,
-    which round-trips HBM every pass). Identical output, exact.
+    which round-trips HBM every pass). Identical output, exact. The branch
+    is chosen at LOWERING time (``jax.lax.platform_dependent``), so the
+    same traced computation runs the XLA form on the in-process CPU
+    backend that small host-routed arrays use.
     """
     h, w = mask.shape
-    if jax.default_backend() == "tpu":
-        from .pallas_label import _label_kernel_call, label_pallas_supported
+    from .pallas_label import _label_kernel_call, label_pallas_supported
 
-        if label_pallas_supported((h, w)):
-            return _label_kernel_call(mask, connectivity)
+    if label_pallas_supported((h, w)):
+        return jax.lax.platform_dependent(
+            mask,
+            tpu=lambda m: _label_kernel_call(m, connectivity),
+            default=lambda m: _label_xla(m, connectivity, max_iter),
+        )
+    return _label_xla(mask, connectivity, max_iter)
+
+
+def _label_xla(mask: jnp.ndarray, connectivity: int = 1,
+               max_iter: int = 512) -> jnp.ndarray:
+    """The XLA scan/jump label formulation (see :func:`label`)."""
+    h, w = mask.shape
     n = h * w
     sentinel = jnp.int32(n)
     lin = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
@@ -212,11 +225,19 @@ def fill_holes(mask: jnp.ndarray, max_iter: int = 512) -> jnp.ndarray:
     """scipy.ndimage.binary_fill_holes equivalent: background components not
     touching the border are holes."""
     h, w = mask.shape
-    if jax.default_backend() == "tpu":
-        from .pallas_label import flood_from_border, label_pallas_supported
+    from .pallas_label import flood_from_border, label_pallas_supported
 
-        if label_pallas_supported((h, w)):
-            return mask | (flood_from_border(mask) == 0)
+    if label_pallas_supported((h, w)):
+        return jax.lax.platform_dependent(
+            mask,
+            tpu=lambda m: m | (flood_from_border(m) == 0),
+            default=lambda m: _fill_holes_xla(m, max_iter),
+        )
+    return _fill_holes_xla(mask, max_iter)
+
+
+def _fill_holes_xla(mask: jnp.ndarray, max_iter: int = 512) -> jnp.ndarray:
+    h, w = mask.shape
     bg_lab = label(~mask, connectivity=1, max_iter=max_iter)
     r = jnp.arange(h)[:, None]
     c = jnp.arange(w)[None, :]
@@ -327,25 +348,30 @@ def regionprops(
     # leftmost pixel — and since component labels are root (minimum) linear
     # indices, that pixel's index is the hole's label itself.
     bg_lab = label(~mask, connectivity=1, max_iter=max_iter)
-    if on_tpu:
-        from .pallas_label import flood_from_border, label_pallas_supported
 
-        tpu_flood = label_pallas_supported((h, w))
-    else:
-        tpu_flood = False
-    if tpu_flood:
-        # border-reachability directly from the pallas flood kernel — the
-        # scatter below serializes on the TPU scalar unit
-        is_hole = ~mask & (flood_from_border(mask) == 0)
-    else:
+    def _holes_scatter(m, bgl):
         rr_i = jnp.arange(h)[:, None]
         cc_i = jnp.arange(w)[None, :]
         on_border_2d = ((rr_i == 0) | (rr_i == h - 1)
                         | (cc_i == 0) | (cc_i == w - 1))
         border_flags = jnp.zeros(h * w + 1, dtype=bool)
-        border_bg = jnp.where(on_border_2d & (bg_lab >= 0), bg_lab, h * w)
+        border_bg = jnp.where(on_border_2d & (bgl >= 0), bgl, h * w)
         border_flags = border_flags.at[border_bg.ravel()].set(True)
-        is_hole = (bg_lab >= 0) & ~border_flags[jnp.clip(bg_lab, 0, h * w)]
+        return (bgl >= 0) & ~border_flags[jnp.clip(bgl, 0, h * w)]
+
+    from .pallas_label import flood_from_border, label_pallas_supported
+
+    if label_pallas_supported((h, w)):
+        # on TPU, border-reachability comes from the pallas flood kernel —
+        # the scatter serializes on the scalar unit; branch picked at
+        # lowering time so the CPU backend keeps the scatter form
+        is_hole = jax.lax.platform_dependent(
+            mask, bg_lab,
+            tpu=lambda m, bgl: ~m & (flood_from_border(m) == 0),
+            default=_holes_scatter,
+        )
+    else:
+        is_hole = _holes_scatter(mask, bg_lab)
     flat_region_lab = lab.ravel()
     hole_root = jnp.clip(bg_lab.ravel(), 0, h * w - 1)
     above_idx = jnp.clip(hole_root - w, 0, h * w - 1)
