@@ -294,7 +294,7 @@ class FieldAnalysisConfig:
 # ===========================================================================
 class StarshotConfig:
     name = "Starshot"
-    n_images = 4
+    n_images = 16
 
     def setup(self):
         import sys
@@ -305,6 +305,8 @@ class StarshotConfig:
 
         from pylinac_tpu.starshot import Starshot
 
+        from pylinac_tpu.starshot import StarshotBatch
+
         tmp = Path(tempfile.mkdtemp())
         self.paths = []
         for i in range(self.n_images):
@@ -312,17 +314,14 @@ class StarshotConfig:
             d.mkdir()
             self.paths.append(make_starshot(d, n_spokes=5,
                                             angles_offset=10.0 + i))
-        self.stars = [Starshot(p) for p in self.paths]
-        self.arrays = [np.asarray(s.image.array, np.float64)
-                       for s in self.stars]
-        self.dpmm = float(self.stars[0].image.dpmm)
+        self.batch = StarshotBatch(self.paths)
+        self.arrays = [np.asarray(im.array, np.float64)
+                       for im in self.batch.images]
+        self.dpmm = float(self.batch.images[0].dpmm)
 
     def run_tpu(self):
-        out = []
-        for s in self.stars:
-            s.analyze()
-            out.append(s.results_data())
-        return out
+        self.batch.analyze()
+        return self.batch.results_data()
 
     def run_baseline_one(self, i: int):
         """Reference Starshot semantics in numpy/scipy (starshot.py:230):

@@ -14,7 +14,7 @@ import io
 import math
 from itertools import product
 from pathlib import Path
-from typing import BinaryIO
+from typing import BinaryIO, Sequence
 
 import numpy as np
 from pydantic import Field
@@ -417,3 +417,113 @@ class Starshot(ResultsDataMixin[StarshotResults], QuaacMixin):
         if notes is not None:
             canvas.add_text(text=notes, location=(2, 4))
         canvas.finish()
+
+
+# ===========================================================================
+# Batched session API: many starshot images in one device dispatch
+# ===========================================================================
+class StarshotBatch:
+    """Analyze a batch of same-geometry starshot images in ONE device
+    dispatch via the fully-jitted pipeline
+    (:mod:`pylinac_tpu.ops.star_pipeline`).
+
+    The TPU-native replacement for looping :meth:`Starshot.analyze` over a
+    QA session (reference semantics per image ``starshot.py:230``): the
+    retry ladder, polar profiling, spoke pairing and the Nelder-Mead wobble
+    all run inside the fused kernel. Images must share shape and dpmm.
+    """
+
+    def __init__(self, filepaths: Sequence, **kwargs):
+        self.images = [image.load(f, **kwargs) for f in filepaths]
+        if not self.images:
+            raise ValueError("No images were provided")
+        shapes = {im.array.shape for im in self.images}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"All images in a batch must share one shape; got {shapes}")
+        if self.images[0].dpmm is None:
+            raise ValueError("DPI was not in the images nor passed in")
+        self.tolerance = 1
+        self._is_analyzed = False
+
+    def analyze(self, radius: float = 0.85, min_peak_height: float = 0.25,
+                max_wobble_diameter: float = 2.0, tolerance: float = 1.0,
+                fwhm: bool = True, recursive: bool = True,
+                invert: bool = False, chunk: int = 8) -> None:
+        import functools
+
+        import jax.numpy as jnp
+
+        from .ops.pack import tree_spec, unpack_tree
+        from .ops.star_pipeline import (
+            StarParams,
+            _combo_table,
+            starshot_batch,
+            starshot_batch_packed,
+        )
+
+        self.tolerance = tolerance
+        dpmm = float(self.images[0].dpmm)
+        stacked = np.stack([np.asarray(im.array) for im in self.images])
+        if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
+            stacked = stacked.astype(np.float32)
+        # size the angular grid from the first image's start-point estimate
+        # (matches the reference's pi*2*R*3 density for the session geometry)
+        a0 = stacked[0].astype(np.float32)
+        h, w = a0.shape
+        cy, cx = h / 2, w / 2
+        r_est = min(cy, cx) * radius
+        n_ang = int(np.clip(int(np.pi * 2 * r_est * 3) // 256 * 256,
+                            1024, 16384))
+        params = StarParams(
+            radius=jnp.float32(radius),
+            min_peak_height=jnp.float32(min_peak_height),
+            max_wobble_mm=jnp.float32(max_wobble_diameter),
+            dpmm=jnp.float32(dpmm),
+            invert=np.bool_(invert))
+        combos = jnp.asarray(_combo_table(radius, min_peak_height))
+        batch = jnp.asarray(stacked)
+        static = dict(n_ang=n_ang, recursive=recursive, fwhm=fwhm,
+                      chunk=min(chunk, len(self.images)))
+        packed = starshot_batch_packed(batch, params, combos, **static)
+        spec = tree_spec(
+            functools.partial(starshot_batch, **static), batch, params, combos,
+            cache_key=("star", batch.shape, tuple(sorted(static.items()))))
+        self._out = unpack_tree(packed, spec)
+        self._dpmm = dpmm
+        if not self._out["found"].all():
+            bad = [i for i, f in enumerate(self._out["found"]) if not f]
+            raise RuntimeError(
+                f"The algorithm was unable to determine a reasonable wobble "
+                f"for image(s) {bad}. Try recursive=False with manual "
+                f"parameters, or the single-image API.")
+        self._is_analyzed = True
+
+    def results_data(self) -> list[StarshotResults]:
+        if not self._is_analyzed:
+            raise ValueError("The batch has not been analyzed; use .analyze()")
+        out = []
+        o = self._out
+        for i in range(len(self.images)):
+            radius_px = float(o["wobble_radius_px"][i])
+            lines = [Line(Point(*o["line_p1"][i][j]), Point(*o["line_p2"][i][j]))
+                     for j in range(int(o["n_lines"][i]))
+                     if o["line_valid"][i][j]]
+            angles = calculate_angles(lines)
+            out.append(StarshotResults(
+                tolerance_mm=self.tolerance,
+                circle_diameter_mm=radius_px * 2 / self._dpmm,
+                circle_radius_mm=radius_px / self._dpmm,
+                circle_center_x_y=(float(o["wobble_center"][i][0]),
+                                   float(o["wobble_center"][i][1])),
+                angles=angles,
+                passed=bool(radius_px * 2 / self._dpmm < self.tolerance),
+            ))
+        return out
+
+
+def analyze_star_batch(filepaths: Sequence, **analyze_kwargs) -> list[StarshotResults]:
+    """One-call batched starshot session: load, analyze, results."""
+    batch = StarshotBatch(filepaths)
+    batch.analyze(**analyze_kwargs)
+    return batch.results_data()
