@@ -29,6 +29,12 @@ from .field_analysis import (
 _LAZY_IMPORTS = {
     "Starshot": ("pylinac_tpu.starshot", "Starshot"),
     "PicketFence": ("pylinac_tpu.picketfence", "PicketFence"),
+    # batched one-dispatch session APIs (TPU-native additions)
+    "StarshotBatch": ("pylinac_tpu.starshot", "StarshotBatch"),
+    "analyze_star_batch": ("pylinac_tpu.starshot", "analyze_star_batch"),
+    "PicketFenceBatch": ("pylinac_tpu.picketfence", "PicketFenceBatch"),
+    "FieldAnalysisBatch": ("pylinac_tpu.field_analysis", "FieldAnalysisBatch"),
+    "analyze_field_batch": ("pylinac_tpu.field_analysis", "analyze_field_batch"),
     "WinstonLutz": ("pylinac_tpu.winston_lutz", "WinstonLutz"),
     "WinstonLutz2D": ("pylinac_tpu.winston_lutz", "WinstonLutz2D"),
     "WinstonLutzMultiTargetMultiField": ("pylinac_tpu.winston_lutz", "WinstonLutzMultiTargetMultiField"),
