@@ -221,6 +221,41 @@ class FieldProfileAnalysis(ResultsDataMixin[FieldProfileResult]):
             plt.show()
         return figs
 
+    def plotly_analyzed_images(self, show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures: X/Y profiles + the image with sampling ROIs
+        (reference ``field_profile_analysis.py``). Returns ``{name: Figure}``
+        of plotly JSON-schema figures (:mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        if not self._is_analyzed:
+            raise NotAnalyzed("Image is not analyzed yet. Use analyze() first.")
+        figs: dict[str, pu.Figure] = {}
+        for profile, name in ((self.x_profile, "X"), (self.y_profile, "Y")):
+            fig = pu.Figure()
+            fig.add_trace(pu.scatter_trace(profile.x_values, profile.values,
+                                           name=f"{name} profile"))
+            pu.add_title(fig, f"{name} profile")
+            fig.update_layout(showlegend=show_legend)
+            figs[f"{name} Profile"] = fig
+        ifig = pu.image_figure(self.image.array, title="Image",
+                               show_colorbar=show_colorbar, **kwargs)
+        shapes = ifig.layout.setdefault("shapes", [])
+        for rect, color in ((self.x_rect, "blue"), (self.y_rect, "green"),
+                            (self.center_rect, "red")):
+            shapes.append({
+                "type": "rect",
+                "x0": rect.center.x - rect.width / 2,
+                "x1": rect.center.x + rect.width / 2,
+                "y0": rect.center.y - rect.height / 2,
+                "y1": rect.center.y + rect.height / 2,
+                "line": {"color": color}, "opacity": 0.5})
+        figs["Image"] = ifig
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
     def publish_pdf(self, filename: str, notes: str | list[str] | None = None,
                     open_file: bool = False, metadata: dict | None = None,
                     logo=None, plot_kwargs: dict | None = None) -> None:

@@ -604,6 +604,98 @@ class ImagePhantomBase(ResultsDataMixin[PlanarResult], QuaacMixin):
             plt.show()
         return figs, names
 
+    def plotly_analyzed_images(self, show: bool = True, show_colorbar: bool = True,
+                               show_legend: bool = True, **kwargs):
+        """Plotly figures: marked image + low/high-contrast graphs
+        (reference ``planar_imaging.py:640``). Returns ``{name: Figure}``
+        of plotly JSON-schema figures (:mod:`..core.plotly_utils`)."""
+        from .core import plotly_utils as pu
+
+        figs: dict[str, pu.Figure] = {}
+        fig = pu.image_figure(self.image.array,
+                              title=f"{self.common_name} Phantom Analysis",
+                              show_colorbar=show_colorbar,
+                              zmin=self.window_floor(), zmax=self.window_ceiling(),
+                              **kwargs)
+        shapes = fig.layout.setdefault("shapes", [])
+        if self.phantom_outline_object is not None:
+            outline = self._create_phantom_outline_object()
+            if isinstance(outline, Circle):
+                shapes.append({
+                    "type": "circle",
+                    "x0": outline.center.x - outline.radius,
+                    "x1": outline.center.x + outline.radius,
+                    "y0": outline.center.y - outline.radius,
+                    "y1": outline.center.y + outline.radius,
+                    "line": {"color": "blue"}})
+            else:
+                shapes.append({
+                    "type": "rect",
+                    "x0": outline.center.x - outline.width / 2,
+                    "x1": outline.center.x + outline.width / 2,
+                    "y0": outline.center.y - outline.height / 2,
+                    "y1": outline.center.y + outline.height / 2,
+                    "line": {"color": "blue"}})
+        for roi in self.low_contrast_background_rois:
+            shapes.append({
+                "type": "circle",
+                "x0": roi.center.x - roi.radius, "x1": roi.center.x + roi.radius,
+                "y0": roi.center.y - roi.radius, "y1": roi.center.y + roi.radius,
+                "line": {"color": "blue"}})
+        for roi in self.low_contrast_rois:
+            shapes.append({
+                "type": "circle",
+                "x0": roi.center.x - roi.radius, "x1": roi.center.x + roi.radius,
+                "y0": roi.center.y - roi.radius, "y1": roi.center.y + roi.radius,
+                "line": {"color": roi.plot_color}})
+        if self.high_contrast_rois:
+            for roi, mtf in zip(self.high_contrast_rois,
+                                self.mtf.norm_mtfs.values()):
+                color = "blue" if mtf > self._high_contrast_threshold else "red"
+                shapes.append({
+                    "type": "circle",
+                    "x0": roi.center.x - roi.radius, "x1": roi.center.x + roi.radius,
+                    "y0": roi.center.y - roi.radius, "y1": roi.center.y + roi.radius,
+                    "line": {"color": color}})
+        fig.add_trace(pu.marker_trace([self.phantom_center.x],
+                                      [self.phantom_center.y], name="Center",
+                                      symbol="x", showlegend=show_legend))
+        figs["Image"] = fig
+
+        if self.low_contrast_rois:
+            low = pu.Figure()
+            low.add_trace(pu.scatter_trace(
+                np.arange(len(self.low_contrast_rois)),
+                [r.contrast for r in self.low_contrast_rois],
+                name="Contrast", mode="lines+markers"))
+            low.add_trace(pu.scatter_trace(
+                np.arange(len(self.low_contrast_rois)),
+                [r.contrast_to_noise for r in self.low_contrast_rois],
+                name="CNR", mode="lines+markers", yaxis="y2"))
+            pu.add_horizontal_line(low, self._low_contrast_threshold,
+                                   color="magenta")
+            pu.add_title(low, "Low-frequency Contrast")
+            low.update_layout(xaxis_title="ROI #", yaxis_title="Contrast",
+                              showlegend=show_legend)
+            low.layout["yaxis2"] = {"title": "CNR", "overlaying": "y",
+                                    "side": "right"}
+            figs["Low Contrast"] = low
+        if self.high_contrast_rois:
+            hi = pu.Figure()
+            hi.add_trace(pu.scatter_trace(
+                list(self.mtf.norm_mtfs.keys()),
+                list(self.mtf.norm_mtfs.values()),
+                name="rMTF", mode="lines+markers"))
+            pu.add_horizontal_line(hi, self._high_contrast_threshold)
+            pu.add_title(hi, "High-frequency rMTF")
+            hi.update_layout(xaxis_title="Line pairs / mm",
+                             yaxis_title="relative MTF", showlegend=show_legend)
+            figs["High Contrast"] = hi
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
     def _plot_lowcontrast_graph(self, axes):
         (line1,) = axes.plot(
             [roi.contrast for roi in self.low_contrast_rois],

@@ -145,3 +145,42 @@ def test_unanalyzed_raises(tmp_path):
     pf = PicketFence(path)
     with pytest.raises(RuntimeError):
         pf.plotly_analyzed_images(show=False)
+
+
+def test_planar_imaging_plotly(tmp_path):
+    """QC-3 plotly figures via the synthetic phantom machinery."""
+    import json
+
+    from tests.models.test_planar_imaging import _make_qc3_image
+    from pylinac_tpu.planar_imaging import StandardImagingQC3
+
+    path = str(tmp_path / "qc3.dcm")
+    _make_qc3_image(path)
+    qc3 = StandardImagingQC3(path)
+    qc3.analyze()
+    figs = qc3.plotly_analyzed_images(show=False)
+    assert "Image" in figs and "Low Contrast" in figs and "High Contrast" in figs
+    for f in figs.values():
+        json.dumps(f.to_dict())
+    assert len(figs["Image"].layout["shapes"]) > 5  # outline + ROI circles
+
+
+def test_field_profile_plotly(tmp_path):
+    import json
+
+    from pylinac_tpu.field_profile_analysis import FieldProfileAnalysis
+    from pylinac_tpu.imggen.layers import FilteredFieldLayer, GaussianFilterLayer
+    from pylinac_tpu.imggen.simulators import AS1000Image
+
+    path = str(tmp_path / "f.dcm")
+    sim = AS1000Image(sid=1000)
+    sim.add_layer(FilteredFieldLayer(field_size_mm=(100, 100)))
+    sim.add_layer(GaussianFilterLayer(sigma_mm=1))
+    sim.generate_dicom(path)
+    fpa = FieldProfileAnalysis(path)
+    fpa.analyze()
+    figs = fpa.plotly_analyzed_images(show=False)
+    assert set(figs) == {"X Profile", "Y Profile", "Image"}
+    for f in figs.values():
+        json.dumps(f.to_dict())
+    assert len(figs["Image"].layout["shapes"]) == 3
