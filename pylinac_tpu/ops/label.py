@@ -347,9 +347,8 @@ def regionprops(
     # region of a hole is the region directly ABOVE the hole's topmost-
     # leftmost pixel — and since component labels are root (minimum) linear
     # indices, that pixel's index is the hole's label itself.
-    bg_lab = label(~mask, connectivity=1, max_iter=max_iter)
-
-    def _holes_scatter(m, bgl):
+    def _holes_xla(m):
+        bgl = label(~m, connectivity=1, max_iter=max_iter)
         rr_i = jnp.arange(h)[:, None]
         cc_i = jnp.arange(w)[None, :]
         on_border_2d = ((rr_i == 0) | (rr_i == h - 1)
@@ -357,21 +356,26 @@ def regionprops(
         border_flags = jnp.zeros(h * w + 1, dtype=bool)
         border_bg = jnp.where(on_border_2d & (bgl >= 0), bgl, h * w)
         border_flags = border_flags.at[border_bg.ravel()].set(True)
-        return (bgl >= 0) & ~border_flags[jnp.clip(bgl, 0, h * w)]
+        holes = (bgl >= 0) & ~border_flags[jnp.clip(bgl, 0, h * w)]
+        return holes, bgl
 
-    from .pallas_label import flood_from_border, label_pallas_supported
+    def _holes_pallas(m):
+        # ONE pallas min-propagation yields both the reachability AND the
+        # hole roots (the XLA form needs a background label pass plus a
+        # scatter that serializes on the TPU scalar unit); the branch is
+        # picked at lowering time so the CPU backend keeps the XLA form
+        from .pallas_label import hole_roots
+
+        out = hole_roots(m)
+        return out >= 0, out
+
+    from .pallas_label import label_pallas_supported
 
     if label_pallas_supported((h, w)):
-        # on TPU, border-reachability comes from the pallas flood kernel —
-        # the scatter serializes on the scalar unit; branch picked at
-        # lowering time so the CPU backend keeps the scatter form
-        is_hole = jax.lax.platform_dependent(
-            mask, bg_lab,
-            tpu=lambda m, bgl: ~m & (flood_from_border(m) == 0),
-            default=_holes_scatter,
-        )
+        is_hole, bg_lab = jax.lax.platform_dependent(
+            mask, tpu=_holes_pallas, default=_holes_xla)
     else:
-        is_hole = _holes_scatter(mask, bg_lab)
+        is_hole, bg_lab = _holes_xla(mask)
     flat_region_lab = lab.ravel()
     hole_root = jnp.clip(bg_lab.ravel(), 0, h * w - 1)
     above_idx = jnp.clip(hole_root - w, 0, h * w - 1)

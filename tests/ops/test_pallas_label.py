@@ -83,3 +83,24 @@ def test_flood_from_border_matches_fill(name):
     filled = jlabel.fill_holes(m)  # CPU: XLA scatter path
     holes_ref = filled & ~m
     assert bool(jnp.all(holes_pallas == holes_ref)), name
+
+
+@pytest.mark.parametrize("name", ["speckle", "ring+noise", "spiral", "empty", "full"])
+def test_hole_roots_matches_xla(name):
+    """The fused hole kernel's (is_hole, root) must equal label(~mask) +
+    border-flag semantics for every hole pixel."""
+    mask = _masks()[name]
+    h, w = mask.shape
+    kern = functools.partial(plab._hole_kernel, h=h, w=w)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=True,
+    )(jnp.asarray(mask, jnp.int32))
+    m = jnp.asarray(mask)
+    bgl = jlabel.label(~m, connectivity=1)
+    filled = jlabel.fill_holes(m)
+    holes_ref = filled & ~m
+    assert bool(jnp.all((out >= 0) == holes_ref)), name
+    # root values agree on hole pixels
+    assert bool(jnp.all(jnp.where(holes_ref, out == bgl, True))), name
