@@ -1550,7 +1550,8 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
                               title=f"{module.common_name} ({module.slice_num + 1})",
                               show_colorbar=show_colorbar)
         shapes = fig.layout.setdefault("shapes", [])
-        for roi, color in ([(r, r.plot_color) for r in module.rois.values()]
+        for roi, color in ([(r, getattr(r, "plot_color", "green"))
+                            for r in module.rois.values()]
                            + [(r, "blue") for r in module.background_rois.values()]):
             if not hasattr(roi, "radius"):
                 continue
@@ -1565,11 +1566,17 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
                                show_legend: bool = True, **kwargs):
         """Plotly figures per analyzed module + HU linearity + MTF
         (reference ``ct.py:2150``). Returns ``{name: Figure}`` of plotly
-        JSON-schema figures (:mod:`..core.plotly_utils`)."""
+        JSON-schema figures (:mod:`..core.plotly_utils`).
+
+        Engine subclasses with their own module sets (ACR, Quart, Cheese,
+        Helios) get one ROI-overlay figure per analyzed module plus an rMTF
+        curve where a module exposes ``mtf``."""
         from .core import plotly_utils as pu
 
         if not hasattr(self, "ctp404"):
-            raise RuntimeError("The CT scan must be analyzed first. Use .analyze().")
+            return self._plotly_generic_modules(show=show,
+                                                show_colorbar=show_colorbar,
+                                                show_legend=show_legend)
         figs: dict[str, pu.Figure] = {}
         figs["CTP404"] = self._plotly_module_fig(self.ctp404, show_colorbar)
         lin = pu.Figure()
@@ -1597,6 +1604,43 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
             figs["MTF"] = mtf
         if self._has_module(CTP515):
             figs["CTP515"] = self._plotly_module_fig(self.ctp515, show_colorbar)
+        if show:
+            for f in figs.values():
+                f.show()
+        return figs
+
+    def _plotly_generic_modules(self, show: bool, show_colorbar: bool,
+                                show_legend: bool):
+        """ROI-overlay figure per analyzed CatPhanModule attribute (+ rMTF
+        where available) — serves the ACR/Quart/Cheese/Helios engines."""
+        from .core import plotly_utils as pu
+
+        figs: dict[str, pu.Figure] = {}
+        for name in dir(self):
+            if name.startswith("_"):
+                continue
+            try:
+                mod = getattr(self, name)
+            except Exception:
+                continue
+            if not isinstance(mod, CatPhanModule):
+                continue
+            key = getattr(mod, "common_name", name)
+            figs[key] = self._plotly_module_fig(mod, show_colorbar)
+            mtf = getattr(mod, "mtf", None)
+            if mtf is not None and hasattr(mtf, "norm_mtfs"):
+                f = pu.Figure()
+                f.add_trace(pu.scatter_trace(
+                    list(mtf.norm_mtfs.keys()), list(mtf.norm_mtfs.values()),
+                    name="rMTF", mode="lines+markers"))
+                pu.add_title(f, f"{key} rMTF")
+                f.update_layout(xaxis_title="Line pairs / mm",
+                                yaxis_title="Relative MTF",
+                                showlegend=show_legend)
+                figs[f"{key} MTF"] = f
+        if not figs:
+            raise RuntimeError(
+                "The scan must be analyzed first. Use .analyze().")
         if show:
             for f in figs.values():
                 f.show()

@@ -21,6 +21,14 @@ class TestACRCT:
             ct.analyze()
         return ct
 
+    def test_plotly_generic_modules(self, ct):
+        import json
+
+        figs = ct.plotly_analyzed_images(show=False)
+        assert figs
+        for fig in figs.values():
+            json.dumps(fig.to_dict())
+
     def test_hu_values(self, ct):
         rois = ct.ct_calibration_module.rois
         assert rois["Air"].pixel_value == pytest.approx(-1000, abs=15)

@@ -22,6 +22,16 @@ class TestQuartSynthetic:
             q.analyze()
         return q
 
+    def test_plotly_generic_modules(self, quart):
+        """Engine subclasses get per-module ROI-overlay plotly figures."""
+        import json
+
+        figs = quart.plotly_analyzed_images(show=False)
+        assert figs  # at least the HU/uniformity/geometry modules
+        for fig in figs.values():
+            json.dumps(fig.to_dict())
+        assert any(f.layout.get("shapes") for f in figs.values())
+
     def test_hu_linearity(self, quart):
         rois = quart.hu_module.rois
         assert rois["Air"].pixel_value == pytest.approx(-1000, abs=15)
