@@ -42,6 +42,7 @@ _LAZY_IMPORTS = {
     "DRMLC": ("pylinac_tpu.vmat", "DRMLC"),
     "DRCS": ("pylinac_tpu.vmat", "DRCS"),
     "CatPhan503": ("pylinac_tpu.ct", "CatPhan503"),
+    "CatPhanBatch": ("pylinac_tpu.ct", "CatPhanBatch"),
     "CatPhan504": ("pylinac_tpu.ct", "CatPhan504"),
     "CatPhan600": ("pylinac_tpu.ct", "CatPhan600"),
     "CatPhan604": ("pylinac_tpu.ct", "CatPhan604"),

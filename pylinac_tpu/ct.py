@@ -1116,7 +1116,8 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
     # -- localization -------------------------------------------------------
     def localize(self, origin_slice: int | None) -> None:
         with profiling.stage("find_phantom_axis"):
-            self._slice_centroids = self._batched_phantom_centroids()
+            if getattr(self, "_slice_centroids", None) is None:
+                self._slice_centroids = self._batched_phantom_centroids()
             self._phantom_center_func = self.find_phantom_axis()
         if origin_slice is not None:
             self.origin_slice = origin_slice
@@ -1198,26 +1199,13 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         if the stack couldn't be batched (heterogeneous shapes)."""
         cache = getattr(self, "_loc_dev_cache", None)
         if cache is None:
-            try:
-                vol = np.stack([img.array for img in self.dicom_stack]
-                               ).astype(np.float32)
-            except ValueError:
+            staged = self._loc_stage_host()
+            if staged is None:
                 return None
-            ds = self.localization_downsample
-            if ds > 1 and vol.shape[1] % ds == 0 and vol.shape[2] % ds == 0:
-                n, h, w = vol.shape
-                vol_loc = vol.reshape(n, h // ds, ds, w // ds, ds
-                                      ).mean(axis=(2, 4))
-            else:
-                ds = 1
-                vol_loc = vol
-            if self.clip_in_localization:
-                clipped = np.clip(vol_loc, -1000, 1000)
-            else:
-                clipped = vol_loc
+            ds, vol_loc, clipped = staged
             # device-resident across analyze() calls of this object: the
             # stack/pool/H2D staging is paid once per loaded scan
-            cache = (ds, vol.shape[0], jnp.asarray(clipped),
+            cache = (ds, vol_loc.shape[0], jnp.asarray(clipped),
                      jnp.asarray(vol_loc))
             self._loc_dev_cache = cache
         ds, n_slices, clipped_dev, vol_loc_dev = cache
@@ -1226,9 +1214,37 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
             clipped_dev, vol_loc_dev, K, self.clear_borders)
         host = jlabel.regions_to_host(packed)
         max_edges = np.asarray(jnp.ravel(max_edges))
+        return self._centroids_from_host(host, max_edges, ds,
+                                         range(n_slices), K)
+
+    def _loc_stage_host(self):
+        """Host staging of the localization volume: stack, optional 2x2
+        mean-pool, clip. Returns (ds, pooled_vol, clipped) numpy arrays, or
+        None for heterogeneous slice shapes."""
+        try:
+            vol = np.stack([img.array for img in self.dicom_stack]
+                           ).astype(np.float32)
+        except ValueError:
+            return None
+        ds = self.localization_downsample
+        if ds > 1 and vol.shape[1] % ds == 0 and vol.shape[2] % ds == 0:
+            n, h, w = vol.shape
+            vol_loc = vol.reshape(n, h // ds, ds, w // ds, ds).mean(axis=(2, 4))
+        else:
+            ds = 1
+            vol_loc = vol
+        if self.clip_in_localization:
+            clipped = np.clip(vol_loc, -1000, 1000)
+        else:
+            clipped = vol_loc
+        return ds, vol_loc, clipped
+
+    def _centroids_from_host(self, host, max_edges, ds, idx_range, K=32):
+        """Per-slice accept/reject + centroid mapping from fetched region
+        slots (shared by the single-scan and multi-scan batch paths)."""
         expected_area = self.catphan_size / ds**2
         out = []
-        for idx in range(n_slices):
+        for idx in idx_range:
             if max_edges[idx] < 0.1:
                 out.append((np.nan, np.nan))  # "no edges" per-slice error
                 continue
@@ -1771,3 +1787,65 @@ class CatPhan700(CatPhanBase):
         CTP486: {"offset": -160},
         CTP528CP700: {"offset": -40},
     }
+
+
+# ===========================================================================
+# Batched session API: many CatPhan scans, one localization dispatch
+# ===========================================================================
+class CatPhanBatch:
+    """Analyze multiple same-geometry CatPhan scans with the per-slice
+    localization of ALL scans fused into ONE device dispatch.
+
+    The reference analyzes one scan at a time (``ct.py:2732``); here the
+    dominant device cost — the whole-stack Scharr→Otsu→CCL→regionprops
+    localization — runs once for the concatenated slice set of every scan,
+    then each scan's host-side module analysis proceeds with its centroids
+    pre-seeded. Per-scan results are identical to :meth:`CatPhanBase.analyze`
+    on the same data.
+
+    Scans must share the phantom model, slice shape and pixel spacing
+    (one clinical protocol); heterogeneous sessions should be bucketed.
+    """
+
+    def __init__(self, folders: list, model=None):
+        model = model or CatPhan504
+        self.cts = [model(f) for f in folders]
+        if not self.cts:
+            raise ValueError("No scans were provided")
+
+    def analyze(self, **analyze_kwargs) -> None:
+        staged = []
+        for ct in self.cts:
+            st = ct._loc_stage_host()
+            if st is None:
+                raise ValueError("A scan has heterogeneous slice shapes")
+            staged.append(st)
+        ds_set = {st[0] for st in staged}
+        shape_set = {st[1].shape[1:] for st in staged}
+        if len(ds_set) != 1 or len(shape_set) != 1:
+            raise ValueError(
+                f"All scans must share slice geometry; got shapes {shape_set}")
+        ds = staged[0][0]
+        counts = [st[1].shape[0] for st in staged]
+        clipped = np.concatenate([st[2] for st in staged], axis=0)
+        vol_loc = np.concatenate([st[1] for st in staged], axis=0)
+        K = 32
+        packed, max_edges = _stack_phantom_regions(
+            jnp.asarray(clipped), jnp.asarray(vol_loc), K,
+            self.cts[0].clear_borders)
+        host = jlabel.regions_to_host(packed)
+        max_edges = np.asarray(jnp.ravel(max_edges))
+        offset = 0
+        for ct, n in zip(self.cts, counts):
+            ct._slice_centroids = ct._centroids_from_host(
+                host, max_edges, ds, range(offset, offset + n), K)
+            offset += n
+        for ct in self.cts:
+            ct.analyze(**analyze_kwargs)
+
+    def results_data(self, as_dict: bool = False, as_json: bool = False) -> list:
+        return [ct.results_data(as_dict=as_dict, as_json=as_json)
+                for ct in self.cts]
+
+    def results(self) -> list:
+        return [ct.results() for ct in self.cts]

@@ -104,3 +104,29 @@ def test_catphan_plotly(analyzed_ct):
     assert figs["CTP404"].data[0]["type"] == "heatmap"
     assert len(figs["CTP404"].layout["shapes"]) >= 7  # HU ROIs
     assert figs["MTF"].data[0]["type"] == "scatter"
+
+
+def test_catphan_batch_matches_single(catphan_dir, tmp_path_factory):
+    """CatPhanBatch: one fused localization dispatch for multiple scans;
+    per-scan results identical to individual analyzes."""
+    from pylinac_tpu import CatPhan504
+    from pylinac_tpu.ct import CatPhanBatch
+
+    tmp2 = tmp_path_factory.mktemp("catphan2")
+    generate_catphan504(tmp2, num_slices=60, slice_thickness_mm=2.5)
+
+    batch = CatPhanBatch([catphan_dir, str(tmp2)])
+    batch.analyze()
+    results = batch.results_data()
+    assert len(results) == 2
+
+    single = CatPhan504(catphan_dir)
+    single.analyze()
+    sd = single.results_data()
+    bd = results[0]
+    assert bd.ctp404.measured_slice_thickness_mm == pytest.approx(
+        sd.ctp404.measured_slice_thickness_mm, abs=1e-6)
+    for name, roi in sd.ctp404.hu_rois.items():
+        assert bd.ctp404.hu_rois[name].value == pytest.approx(roi.value, abs=1e-6)
+    assert batch.cts[0].origin_slice == single.origin_slice
+    assert batch.cts[0].catphan_roll == pytest.approx(single.catphan_roll, abs=1e-6)
