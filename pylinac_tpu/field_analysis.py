@@ -666,6 +666,15 @@ class FieldAnalysisBatch:
             self.images.append(img)
         if not self.images:
             raise ValueError("No images were provided")
+        # projections + per-image extrema, computed once at load: the
+        # centering stage consumes only these (and `invert` transforms them
+        # linearly), so analyze() never re-reads the full frames
+        self._col_sums = [np.asarray(i.array).sum(axis=0, dtype=np.float64)
+                          for i in self.images]
+        self._row_sums = [np.asarray(i.array).sum(axis=1, dtype=np.float64)
+                          for i in self.images]
+        self._extrema = [(float(np.min(i.array)), float(np.max(i.array)))
+                         for i in self.images]
         self._is_analyzed = False
 
     def analyze(self, protocol: Protocol = Protocol.VARIAN,
@@ -686,10 +695,11 @@ class FieldAnalysisBatch:
 
         import functools
 
+        from .ops import field_host
         from .ops.field_pipeline import (
             FAParams,
-            field_analysis_batch,
-            field_analysis_batch_packed,
+            field_analysis_strips_batch,
+            field_analysis_strips_batch_packed,
         )
 
         edge = convert_to_enum(edge_detection_method, Edge)
@@ -730,17 +740,52 @@ class FieldAnalysisBatch:
             Protocol.NONE: ("difference", "point difference"),
         }[protocol]
 
-        # stage in the images' native dtype (uint16 halves tunnel bytes);
-        # the kernel casts to f32 on device
-        arrays = np.stack([np.asarray(img.array) for img in self.images])
-        if arrays.dtype.kind == "f" and arrays.dtype.itemsize > 4:
-            arrays = arrays.astype(np.float32)
-        if invert:
-            # per-image inversion (max+min-a), matching BaseImage.invert
-            arrays = arrays.astype(np.float32)
-            mx = arrays.max(axis=(1, 2), keepdims=True)
-            mn = arrays.min(axis=(1, 2), keepdims=True)
-            arrays = mx + mn - arrays
+        # -- host staging: the kernel consumes two 1-D strips per image, so
+        # the projection/centering/strip-extraction stage runs in numpy here
+        # and only ~2·(H+W) floats per image cross the (possibly tunneled)
+        # host→device link instead of the full H×W frame (reference staging
+        # semantics: /root/reference/pylinac/field_analysis.py:215-268).
+        B = len(self.images)
+        if centering == Centering.BEAM_CENTER:
+            col_sums = np.stack(self._col_sums)
+            row_sums = np.stack(self._row_sums)
+            if invert:
+                # invert (a -> max+min-a) transforms the projections linearly
+                span = np.asarray([mn + mx for mn, mx in self._extrema])
+                col_sums = H * span[:, None] - col_sums
+                row_sums = W * span[:, None] - row_sums
+            v_positions = field_host.beam_center_ratio_np_batch(col_sums)
+            h_positions = field_host.beam_center_ratio_np_batch(row_sums)
+        elif centering == Centering.GEOMETRIC_CENTER:
+            v_positions = np.full(B, ((W - 1) / 2.0) / W)
+            h_positions = np.full(B, ((H - 1) / 2.0) / H)
+        else:
+            v_positions = np.full(B, vert_position)
+            h_positions = np.full(B, horiz_position)
+
+        vert_strips = np.empty((B, H), np.float32)
+        horiz_strips = np.empty((B, W), np.float32)
+        roi_stats: list[dict] = []
+        for i, img in enumerate(self.images):
+            arr = np.asarray(img.array)
+            lv, rv = field_host.strip_indices(W, float(v_positions[i]), vert_width)
+            uh, lh = field_host.strip_indices(H, float(h_positions[i]), horiz_width)
+            vs = arr[:, lv:rv].mean(axis=1)
+            hs = arr[uh:lh, :].mean(axis=0)
+            if invert:
+                mn, mx = self._extrema[i]
+                vert_strips[i] = (mn + mx) - vs
+                horiz_strips[i] = (mn + mx) - hs
+                stats = field_host.central_roi_stats_np(arr, lv, rv, uh, lh)
+                stats = {"mean": (mn + mx) - stats["mean"], "std": stats["std"],
+                         "max": (mn + mx) - stats["min"],
+                         "min": (mn + mx) - stats["max"]}
+            else:
+                vert_strips[i] = vs
+                horiz_strips[i] = hs
+                stats = field_host.central_roi_stats_np(arr, lv, rv, uh, lh)
+            roi_stats.append(stats)
+
         params = FAParams(
             dpmm=jnp.float32(dpmm),
             in_field_ratio=jnp.float32(in_field_ratio),
@@ -761,13 +806,19 @@ class FieldAnalysisBatch:
             normalization=normalization.value,
             flatness=flat_name, symmetry=sym_name, ground=ground,
             edge_smoothing_ratio=edge_smoothing_ratio)
-        dev = jnp.asarray(arrays)
+        dev_v = jnp.asarray(vert_strips)
+        dev_h = jnp.asarray(horiz_strips)
         # one packed fetch: remote D2H latency is paid once, not per metric
-        packed = field_analysis_batch_packed(dev, params, **static)
+        packed = field_analysis_strips_batch_packed(dev_v, dev_h, params, **static)
         spec = tree_spec(
-            functools.partial(field_analysis_batch, **static), dev, params,
-            cache_key=("fa", dev.shape, tuple(sorted(static.items()))))
+            functools.partial(field_analysis_strips_batch, **static),
+            dev_v, dev_h, params,
+            cache_key=("fa-strips", dev_v.shape, dev_h.shape,
+                       tuple(sorted(static.items()))))
         self._out = unpack_tree(packed, spec)
+        self._out["central_roi"] = {
+            k: np.asarray([s[k] for s in roi_stats], np.float64)
+            for k in ("mean", "std", "max", "min")}
         self._is_analyzed = True
 
     def results_data(self, as_dict: bool = False, as_json: bool = False):

@@ -446,3 +446,41 @@ def field_analysis_batch_packed(images: jnp.ndarray, params: FAParams, **static)
     from .pack import pack_tree
 
     return pack_tree(_field_analysis_batch(images, params, **static))
+
+
+_FA_STRIP_STATICS = ("samples_v", "samples_h", "edge", "centering",
+                     "normalization", "flatness", "symmetry", "ground",
+                     "edge_smoothing_ratio")
+
+
+def _field_analysis_strips_batch(vert_strips: jnp.ndarray,
+                                 horiz_strips: jnp.ndarray,
+                                 params: FAParams, *, samples_v: int,
+                                 samples_h: int, **static) -> dict:
+    """Per-profile analysis of pre-extracted (B, H) vertical and (B, W)
+    horizontal strips — the transfer-lean batch entry: centering, strip
+    extraction, and the central ROI run host-side
+    (:mod:`pylinac_tpu.ops.field_host`), so only ~2·(H+W) floats per image
+    cross the link instead of the H×W frame."""
+    vert = jax.vmap(
+        lambda s: analyze_field_profile(s, params, samples=samples_v, **static)
+    )(vert_strips.astype(jnp.float32))
+    horiz = jax.vmap(
+        lambda s: analyze_field_profile(s, params, samples=samples_h, **static)
+    )(horiz_strips.astype(jnp.float32))
+    return {"vert": vert, "horiz": horiz}
+
+
+field_analysis_strips_batch = functools.partial(
+    jax.jit, static_argnames=_FA_STRIP_STATICS)(_field_analysis_strips_batch)
+
+
+@functools.partial(jax.jit, static_argnames=_FA_STRIP_STATICS)
+def field_analysis_strips_batch_packed(vert_strips: jnp.ndarray,
+                                       horiz_strips: jnp.ndarray,
+                                       params: FAParams, **static) -> jnp.ndarray:
+    """Packed single-fetch variant of :func:`field_analysis_strips_batch`."""
+    from .pack import pack_tree
+
+    return pack_tree(_field_analysis_strips_batch(
+        vert_strips, horiz_strips, params, **static))
