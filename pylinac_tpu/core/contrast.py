@@ -58,7 +58,10 @@ def difference(feature: float, background: float) -> float:
 
 def michelson(array: np.ndarray) -> float:
     l_max, l_min = np.nanmax(array), np.nanmin(array)
-    return float((l_max - l_min) / (l_max + l_min))
+    # same numerics as the unguarded division (inf/nan), without the
+    # RuntimeWarning when l_max + l_min == 0 (e.g. HU plugs straddling 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float((l_max - l_min) / (l_max + l_min))
 
 
 def weber(feature: float, background: float) -> float:

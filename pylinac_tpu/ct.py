@@ -257,26 +257,36 @@ def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = Tr
     return None, views, len(views)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "clear_borders"))
-def _stack_phantom_regions(clipped_vol, raw_vol, K: int, clear_borders: bool):
-    """Whole-stack Scharr->Otsu->regionprops, vmapped over slices.
+@functools.partial(jax.jit, static_argnames=("K", "clear_borders", "ds", "clip"))
+def _stack_phantom_regions(raw_vol, K: int, clear_borders: bool, ds: int,
+                           clip: bool):
+    """Whole-stack pool -> clip -> Scharr -> Otsu -> batched regionprops.
 
-    Mirrors :func:`get_regions`'s ndarray branch per slice (otsu on the
-    blurred clipped-image edges) plus :meth:`Slice.phantom_roi`'s raw-edge
-    sanity max. Returns (packed regions, per-slice raw scharr max)."""
+    Takes the device-resident FULL-RES volume (uploaded once per loaded
+    scan) and performs the ``localization_downsample`` mean-pool and the
+    ±1000 HU localization clip on device — re-staging them on host cost
+    ~350 ms/scan per analyze. The CCL + hole sweeps run as blocked
+    VMEM-resident pallas programs over the whole stack
+    (:func:`pylinac_tpu.ops.label.regionprops_batch`); the previous vmapped
+    single-image kernels serialized one grid step per slice (~12 ms each).
+    Returns (packed regions, per-slice pooled-edge sanity max)."""
+    n, h, w = raw_vol.shape
+    if ds > 1:
+        vol = raw_vol.reshape(n, h // ds, ds, w // ds, ds).mean(axis=(2, 4))
+    else:
+        vol = raw_vol
+    clipped = jnp.clip(vol, -1000, 1000) if clip else vol
 
-    def one(clipped_sl, raw_sl):
-        edges = gaussian_filter(scharr(clipped_sl), 1.0)
-        thres = otsu_threshold(edges)
-        bw = edges > thres
-        regions = jlabel.regionprops(bw, edges, K=K, connectivity=2,
-                                     hull=False,    # CT never reads solidity
-                                     minmax=False)  # ...nor bbox/min/max
-        if clear_borders:
-            regions = jlabel.clear_border(regions)
-        return jlabel.pack_regions(regions), jnp.max(scharr(raw_sl))
-
-    return jax.vmap(one)(clipped_vol, raw_vol)
+    edges = jax.vmap(lambda s: gaussian_filter(scharr(s), 1.0))(clipped)
+    thres = jax.vmap(otsu_threshold)(edges)
+    bw = edges > thres[:, None, None]
+    regions = jlabel.regionprops_batch(bw, edges, K=K, connectivity=2,
+                                       hull=False,    # CT never reads solidity
+                                       minmax=False)  # ...nor bbox/min/max
+    if clear_borders:
+        regions = jlabel.clear_border(regions)
+    max_edges = jax.vmap(lambda s: jnp.max(scharr(s)))(vol)
+    return jlabel.pack_regions(regions), max_edges
 
 
 def combine_surrounding_slices(dicomstack, nominal_slice_num: int,
@@ -1202,42 +1212,36 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
             staged = self._loc_stage_host()
             if staged is None:
                 return None
-            ds, vol_loc, clipped = staged
+            ds, vol = staged
             # device-resident across analyze() calls of this object: the
-            # stack/pool/H2D staging is paid once per loaded scan
-            cache = (ds, vol_loc.shape[0], jnp.asarray(clipped),
-                     jnp.asarray(vol_loc))
+            # stack + H2D staging is paid once per loaded scan; the
+            # localization mean-pool and HU clip run on device
+            cache = (ds, vol.shape[0], jnp.asarray(vol))
             self._loc_dev_cache = cache
-        ds, n_slices, clipped_dev, vol_loc_dev = cache
+        ds, n_slices, vol_dev = cache
         K = 32
         packed, max_edges = _stack_phantom_regions(
-            clipped_dev, vol_loc_dev, K, self.clear_borders)
+            vol_dev, K, self.clear_borders, ds, self.clip_in_localization)
         host = jlabel.regions_to_host(packed)
         max_edges = np.asarray(jnp.ravel(max_edges))
         return self._centroids_from_host(host, max_edges, ds,
                                          range(n_slices), K)
 
     def _loc_stage_host(self):
-        """Host staging of the localization volume: stack, optional 2x2
-        mean-pool, clip. Returns (ds, pooled_vol, clipped) numpy arrays, or
-        None for heterogeneous slice shapes."""
+        """Host staging of the full-res localization volume. Returns
+        (ds, vol) with vol a float32 numpy stack, or None for heterogeneous
+        slice shapes; the ``localization_downsample`` mean-pool and the
+        ±1000 HU clip now run on device in :func:`_stack_phantom_regions`."""
         try:
             vol = np.stack([img.array for img in self.dicom_stack]
                            ).astype(np.float32)
         except ValueError:
             return None
+        self._host_vol = vol  # reused by the vectorized origin-slice scan
         ds = self.localization_downsample
-        if ds > 1 and vol.shape[1] % ds == 0 and vol.shape[2] % ds == 0:
-            n, h, w = vol.shape
-            vol_loc = vol.reshape(n, h // ds, ds, w // ds, ds).mean(axis=(2, 4))
-        else:
+        if ds <= 1 or vol.shape[1] % ds or vol.shape[2] % ds:
             ds = 1
-            vol_loc = vol
-        if self.clip_in_localization:
-            clipped = np.clip(vol_loc, -1000, 1000)
-        else:
-            clipped = vol_loc
-        return ds, vol_loc, clipped
+        return ds, vol
 
     def _centroids_from_host(self, host, max_edges, ds, idx_range, K=32):
         """Per-slice accept/reject + centroid mapping from fetched region
@@ -1301,11 +1305,35 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
 
     def find_origin_slice(self) -> int:
         """Brute-force scan for the HU-linearity slice (reference ``:2453``)."""
-        hu_slices = []
+        cached = getattr(self, "_slice_centroids", None)
+        in_view = []
         for image_number in range(0, self.num_images, 2):
-            slc = Slice(self, image_number, combine=False,
-                        clear_borders=self.clear_borders)
-            if self._slice_in_view(image_number, slc):
+            if cached is not None and cached[image_number] is not None:
+                if not np.isnan(cached[image_number][0]):
+                    in_view.append(image_number)
+            else:
+                slc = Slice(self, image_number, combine=False,
+                            clear_borders=self.clear_borders)
+                if slc.is_phantom_in_view():
+                    in_view.append(image_number)
+        variation_limit = max(
+            100, self.dicom_stack.metadata.SliceThickness * -100 + 300)
+        profs = self._origin_profile_stack(in_view)
+        hu_slices = []
+        if profs is not None:
+            low_end, high_end = np.percentile(profs, [2, 98], axis=1)
+            median = np.median(profs, axis=1)
+            middle_variation = (np.percentile(profs, 80, axis=1)
+                                - np.percentile(profs, 20, axis=1))
+            for i, image_number in enumerate(in_view):
+                if ((low_end[i] < median[i] - self.hu_origin_slice_variance)
+                        and (high_end[i] > median[i] + self.hu_origin_slice_variance)
+                        and (middle_variation[i] < variation_limit)):
+                    hu_slices.append(image_number)
+        else:
+            for image_number in in_view:
+                slc = Slice(self, image_number, combine=False,
+                            clear_borders=self.clear_borders)
                 circle_prof = CollapsedCircleProfile(
                     slc.phan_center, radius=self.localization_radius / self.mm_per_pixel,
                     image_array=slc.image, width_ratio=0.05, num_profiles=5)
@@ -1313,8 +1341,6 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
                 low_end, high_end = np.percentile(prof, [2, 98])
                 median = np.median(prof)
                 middle_variation = np.percentile(prof, 80) - np.percentile(prof, 20)
-                variation_limit = max(
-                    100, self.dicom_stack.metadata.SliceThickness * -100 + 300)
                 if ((low_end < median - self.hu_origin_slice_variance)
                         and (high_end > median + self.hu_origin_slice_variance)
                         and (middle_variation < variation_limit)):
@@ -1328,6 +1354,38 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         center_hu_slice = int(round(float(np.median(hu_slices))))
         if self._is_within_image_extent(center_hu_slice):
             return center_hu_slice
+
+    def _origin_profile_stack(self, idxs: list[int]) -> np.ndarray | None:
+        """The origin-scan collapsed circle profiles for all candidate slices
+        as ONE vectorized gather over the cached host volume — identical
+        samples to the per-slice :class:`CollapsedCircleProfile` construction
+        (width_ratio 0.05, 5 rings, sampling 1.0, start 0, ccw). Returns
+        (n_candidates, samples) or None to request the per-slice path."""
+        vol = getattr(self, "_host_vol", None)
+        if vol is None:
+            return None
+        if not idxs:
+            return np.empty((0, 1))
+        radius = self.localization_radius / self.mm_per_pixel
+        radii = np.linspace(radius * 0.95, radius * 1.05, 5)
+        size = np.pi * radii.max() * 2
+        interval = (2 * np.pi) / size
+        rads = np.arange(0, 2 * np.pi - interval, interval)[::-1]
+        cx = np.array([float(self._phantom_center_func[0](i)) for i in idxs])
+        cy = np.array([float(self._phantom_center_func[1](i)) for i in idxs])
+        # Circle._ensure_array_size parity: out-of-bounds centers take the
+        # per-slice path (which raises the reference's error)
+        if ((cx + radii.max() >= vol.shape[2]) | (cx - radii.max() < 0)
+                | (cy + radii.max() >= vol.shape[1]) | (cy - radii.max() < 0)).any():
+            return None
+        xx = np.round(np.cos(rads)[None, None, :] * radii[None, :, None]
+                      + cx[:, None, None]).astype(int)
+        yy = np.round(np.sin(rads)[None, None, :] * radii[None, :, None]
+                      + cy[:, None, None]).astype(int)
+        yy = np.clip(yy, 0, vol.shape[1] - 1)
+        xx = np.clip(xx, 0, vol.shape[2] - 1)
+        sub = vol[np.asarray(idxs)[:, None, None], yy, xx].astype(np.float64)
+        return sub.sum(axis=1) / len(radii)
 
     def refine_origin_slice(self, initial_slice_num: int) -> int:
         return initial_slice_num
@@ -1827,12 +1885,11 @@ class CatPhanBatch:
                 f"All scans must share slice geometry; got shapes {shape_set}")
         ds = staged[0][0]
         counts = [st[1].shape[0] for st in staged]
-        clipped = np.concatenate([st[2] for st in staged], axis=0)
-        vol_loc = np.concatenate([st[1] for st in staged], axis=0)
+        vol = np.concatenate([st[1] for st in staged], axis=0)
         K = 32
         packed, max_edges = _stack_phantom_regions(
-            jnp.asarray(clipped), jnp.asarray(vol_loc), K,
-            self.cts[0].clear_borders)
+            jnp.asarray(vol), K, self.cts[0].clear_borders, ds,
+            self.cts[0].clip_in_localization)
         host = jlabel.regions_to_host(packed)
         max_edges = np.asarray(jnp.ravel(max_edges))
         offset = 0

@@ -1,0 +1,147 @@
+"""Batched windowed BB search: the whole multi-threshold feature scan for an
+image SET in one device dispatch.
+
+The reference runs ``find_features`` per image — a 50-step threshold scan
+with a label/regionprops pass per step (``metrics/utils.py:66``).  The
+sequential TPU port costs one device round trip per threshold per image;
+on a remote chip that dominates Winston-Lutz latency.  Here the scan runs
+``vmap(images) × vmap(thresholds)`` inside one jitted kernel with the
+detection-condition chain evaluated as vectorized masks over the fixed-K
+region slots, and the reference's first-hit semantics (``max_number=1``
+stops at the first threshold with any kept feature) reduced on device.
+
+Host-visible results are identical to the per-image path: the kept regions
+of the first successful threshold, weighted centroids in window coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.array_utils import stretch
+from ..ops import label as jlabel
+
+# fixed threshold-slot count: the reference's accumulated float scan yields
+# 50 (occasionally 51) steps; sentinel cutoffs > 1 produce empty masks
+_T_SLOTS = 52
+
+
+def reference_cutoffs(imin: float = 0.0, imax: float = 1.0) -> np.ndarray:
+    """The reference's accumulated threshold sequence (find_features loop),
+    padded to ``_T_SLOTS`` with sentinels."""
+    step = (imax - imin) / 50
+    cuts = []
+    c = imin + step
+    while c <= imax and len(cuts) < _T_SLOTS:
+        cuts.append(c)
+        c += step
+    out = np.full(_T_SLOTS, 2.0, np.float32)
+    out[: len(cuts)] = cuts
+    return out
+
+
+def _kept_mask_bb(regions: jlabel.Regions, *, dpmm: float, bb_radius_mm: float,
+                  tolerance_mm: float) -> jnp.ndarray:
+    """Vectorized default BB detection-condition chain
+    (``metrics/features.py``: is_right_size_bb, is_round,
+    is_right_circumference, is_symmetric, is_solid) over the (K,) slots."""
+    area_mm2 = regions.area_filled / (dpmm ** 2)
+    larger = math.pi * (bb_radius_mm + tolerance_mm) ** 2
+    smaller = max(math.pi * (bb_radius_mm - tolerance_mm) ** 2, 2.0)
+    ok_size = (area_mm2 > smaller) & (area_mm2 < larger)
+
+    fill_ratio = regions.area_filled / jnp.maximum(regions.bbox_area, 1.0)
+    ok_round = (fill_ratio > math.pi / 4 * 0.8) & (fill_ratio < math.pi / 4 * 1.2)
+
+    circum = regions.perimeter / dpmm
+    ok_circ = ((circum > 2 * math.pi * (bb_radius_mm - tolerance_mm))
+               & (circum < 2 * math.pi * (bb_radius_mm + tolerance_mm)))
+
+    dy = (regions.bbox_rmax - regions.bbox_rmin).astype(jnp.float32)
+    dx = (regions.bbox_cmax - regions.bbox_cmin).astype(jnp.float32)
+    ok_sym = ~((dx > jnp.maximum(dy * 1.05, dy + 3))
+               | (dx < jnp.minimum(dy * 0.95, dy - 3)))
+
+    ok_solid = regions.solidity > 0.9
+    return regions.valid & ok_size & ok_round & ok_circ & ok_sym & ok_solid
+
+
+@functools.partial(jax.jit, static_argnames=("K", "dpmm", "bb_radius_mm",
+                                             "tolerance_mm"))
+def _batched_bb_scan(windows: jnp.ndarray, cutoffs: jnp.ndarray, *, K: int,
+                     dpmm: float, bb_radius_mm: float, tolerance_mm: float) -> jnp.ndarray:
+    """(B, h, w) stretched windows → packed (B, 1+3K) f32:
+    [found, kept(K), wc_row(K), wc_col(K)] per image.
+
+    The full (thresholds × images) mask set runs through ONE batched CCL
+    (:func:`pylinac_tpu.ops.label.regionprops_batch`): vmapping the
+    single-image kernel instead serializes one pallas grid step per
+    (threshold, image) pair — ~15 ms each, minutes for a WL session."""
+    b, h, w = windows.shape
+    t = cutoffs.shape[0]
+    masks = (windows[None, :, :, :] > cutoffs[:, None, None, None]
+             ).reshape(t * b, h, w)
+    intens = jnp.broadcast_to(windows[None], (t, b, h, w)).reshape(t * b, h, w)
+    regions = jlabel.regionprops_batch(masks, intens, K=K, connectivity=1,
+                                       fill=True)
+    regions = jlabel.clear_border(regions)
+    kept = _kept_mask_bb(regions, dpmm=dpmm, bb_radius_mm=bb_radius_mm,
+                         tolerance_mm=tolerance_mm)           # (t*b, K)
+    kept = kept.reshape(t, b, K)
+    wr = regions.weighted_centroid_r.reshape(t, b, K)
+    wc = regions.weighted_centroid_c.reshape(t, b, K)
+    any_t = jnp.any(kept, axis=2)                             # (t, b)
+    t_star = jnp.argmax(any_t, axis=0)                        # first hit per img
+    found = jnp.any(any_t, axis=0)
+    img_ix = jnp.arange(b)
+    return jnp.concatenate([
+        found.astype(jnp.float32)[:, None],
+        kept[t_star, img_ix].astype(jnp.float32),
+        wr[t_star, img_ix], wc[t_star, img_ix]], axis=1)
+
+
+def batched_bb_windows(windows: list[np.ndarray], dpmm: float,
+                       bb_radius_mm: float, tolerance_mm: float,
+                       invert: bool = True, K: int = 24) -> list[list[tuple[float, float]]]:
+    """Run the BB scan for a list of same-dpmm search windows.
+
+    Windows are grouped by shape (clean-edge cropping can shift the crop by
+    a pixel) and each group runs as ONE device dispatch.  Returns, per
+    window, the kept weighted centroids ``(row, col)`` in window coordinates
+    of the first successful threshold — [] when nothing was found.
+    """
+    from ..ops import route
+
+    prepared = []
+    for win in windows:
+        w = np.asarray(win, np.float32)
+        if invert:
+            w = w.max() + w.min() - w
+        prepared.append(stretch(w, min=0, max=1))
+
+    results: list[list[tuple[float, float]]] = [None] * len(prepared)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, w in enumerate(prepared):
+        groups.setdefault(w.shape, []).append(i)
+    cutoffs = route.put(reference_cutoffs())
+    for idxs in groups.values():
+        stackdev = route.put(np.stack([prepared[i] for i in idxs]))
+        packed = np.asarray(_batched_bb_scan(
+            stackdev, cutoffs, K=K, dpmm=float(dpmm),
+            bb_radius_mm=float(bb_radius_mm),
+            tolerance_mm=float(tolerance_mm)))
+        for row, i in zip(packed, idxs):
+            found = bool(row[0])
+            kept = row[1:1 + K].astype(bool)
+            wr = row[1 + K:1 + 2 * K]
+            wc = row[1 + 2 * K:1 + 3 * K]
+            results[i] = ([(float(r), float(c))
+                           for r, c, k in zip(wr, wc, kept) if k]
+                          if found else [])
+    return results

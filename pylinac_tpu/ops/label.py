@@ -280,18 +280,79 @@ def regionprops(
     """
     h, w = mask.shape
     mask = mask.astype(bool)
-    base = mask
-    lab = label(base, connectivity=connectivity, max_iter=max_iter)
+    lab = label(mask, connectivity=connectivity, max_iter=max_iter)
+    is_hole, bg_lab = _holes_single(mask, max_iter)
+    return _props_from_label(mask, lab, intensity, is_hole, bg_lab, K=K,
+                             hull=hull, minmax=minmax)
 
+
+def _holes_xla(mask: jnp.ndarray, max_iter: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hole mask + background labels, pure-XLA form (any backend)."""
+    h, w = mask.shape
+    bgl = label(~mask, connectivity=1, max_iter=max_iter)
+    rr_i = jnp.arange(h)[:, None]
+    cc_i = jnp.arange(w)[None, :]
+    on_border_2d = ((rr_i == 0) | (rr_i == h - 1)
+                    | (cc_i == 0) | (cc_i == w - 1))
+    border_flags = jnp.zeros(h * w + 1, dtype=bool)
+    border_bg = jnp.where(on_border_2d & (bgl >= 0), bgl, h * w)
+    border_flags = border_flags.at[border_bg.ravel()].set(True)
+    holes = (bgl >= 0) & ~border_flags[jnp.clip(bgl, 0, h * w)]
+    return holes, bgl
+
+
+def _holes_single(mask: jnp.ndarray, max_iter: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-image hole info with the lowering-time pallas/XLA branch."""
+    def _holes_pallas(m):
+        # ONE pallas min-propagation yields both the reachability AND the
+        # hole roots (the XLA form needs a background label pass plus a
+        # scatter that serializes on the TPU scalar unit); the branch is
+        # picked at lowering time so the CPU backend keeps the XLA form
+        from .pallas_label import hole_roots
+
+        out = hole_roots(m)
+        return out >= 0, out
+
+    from .pallas_label import label_pallas_supported
+
+    if label_pallas_supported(mask.shape):
+        return jax.lax.platform_dependent(
+            mask, tpu=_holes_pallas,
+            default=lambda m: _holes_xla(m, max_iter))
+    return _holes_xla(mask, max_iter)
+
+
+def _props_from_label(
+    mask: jnp.ndarray,
+    lab: jnp.ndarray,
+    intensity: jnp.ndarray | None,
+    is_hole: jnp.ndarray,
+    bg_lab: jnp.ndarray,
+    K: int = 32,
+    hull: bool = True,
+    minmax: bool = True,
+) -> Regions:
+    """Fixed-K region properties from a labeled mask (see :func:`regionprops`)."""
+    h, w = mask.shape
     flat_lab = lab.ravel()
-    present = jnp.where(base.ravel(), flat_lab, h * w)
-    ids = jnp.unique(present, size=K + 1, fill_value=h * w)  # ascending; sentinel last-ish
-    valid = ids < h * w
+    n_px = h * w
+    # Sort-free label compaction. jnp.unique's full sort serialized ~7 ms
+    # per image on TPU (the dominant cost of a batched regionprops).
+    # Component labels are min linear indices, so exactly the root pixels
+    # satisfy lab[idx] == idx — top_k over the root indices yields the K+1
+    # smallest distinct labels directly, ascending, sentinel n_px like
+    # unique(size=K+1, fill_value=n_px) produced.
+    aranged = jnp.arange(n_px, dtype=flat_lab.dtype)
+    roots = jnp.where(mask.ravel() & (flat_lab == aranged), aranged,
+                      jnp.int32(n_px))
+    ids = -jax.lax.top_k(-roots, K + 1)[0]
+    valid = ids < n_px
     label_id = jnp.where(valid, ids, -1).astype(jnp.int32)
 
-    # map each pixel to a compact slot (K = trash slot for bg/fill)
-    slot = jnp.searchsorted(ids, flat_lab)
-    slot = jnp.where((flat_lab >= 0) & (slot < K + 1) & (jnp.take(ids, jnp.clip(slot, 0, K)) == flat_lab), slot, K + 1)
+    # per-pixel slot match; the (N, K+1) compare matrix doubles as the
+    # one-hot for the MXU segment reductions below (bg = -1 never matches)
+    eq = flat_lab[:, None] == ids[None, :]
+    slot = jnp.where(jnp.any(eq, axis=1), jnp.argmax(eq, axis=1), K + 1)
     num = K + 2
 
     r = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -306,7 +367,7 @@ def regionprops(
     # (N, num) one-hot; on CPU the native segment ops are faster.
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        onehot = (slot[:, None] == jnp.arange(num, dtype=slot.dtype)[None, :])
+        onehot = eq  # (N, K+1); reductions below slice [:K]
         onehot_f = onehot.astype(jnp.float32)
 
         def seg_many(features):  # (N, F) -> (num, F) summed per slot
@@ -347,53 +408,17 @@ def regionprops(
     # region of a hole is the region directly ABOVE the hole's topmost-
     # leftmost pixel — and since component labels are root (minimum) linear
     # indices, that pixel's index is the hole's label itself.
-    def _holes_xla(m):
-        bgl = label(~m, connectivity=1, max_iter=max_iter)
-        rr_i = jnp.arange(h)[:, None]
-        cc_i = jnp.arange(w)[None, :]
-        on_border_2d = ((rr_i == 0) | (rr_i == h - 1)
-                        | (cc_i == 0) | (cc_i == w - 1))
-        border_flags = jnp.zeros(h * w + 1, dtype=bool)
-        border_bg = jnp.where(on_border_2d & (bgl >= 0), bgl, h * w)
-        border_flags = border_flags.at[border_bg.ravel()].set(True)
-        holes = (bgl >= 0) & ~border_flags[jnp.clip(bgl, 0, h * w)]
-        return holes, bgl
-
-    def _holes_pallas(m):
-        # ONE pallas min-propagation yields both the reachability AND the
-        # hole roots (the XLA form needs a background label pass plus a
-        # scatter that serializes on the TPU scalar unit); the branch is
-        # picked at lowering time so the CPU backend keeps the XLA form
-        from .pallas_label import hole_roots
-
-        out = hole_roots(m)
-        return out >= 0, out
-
-    from .pallas_label import label_pallas_supported
-
-    if label_pallas_supported((h, w)):
-        is_hole, bg_lab = jax.lax.platform_dependent(
-            mask, tpu=_holes_pallas, default=_holes_xla)
-    else:
-        is_hole, bg_lab = _holes_xla(mask)
     flat_region_lab = lab.ravel()
     hole_root = jnp.clip(bg_lab.ravel(), 0, h * w - 1)
     above_idx = jnp.clip(hole_root - w, 0, h * w - 1)
     hole_region = jnp.where(is_hole.ravel(), flat_region_lab[above_idx], -1)
     # map each hole pixel to the enclosing region's compact slot
-    hole_slot = jnp.searchsorted(ids, hole_region)
-    hole_ok = (hole_region >= 0) & (jnp.take(ids, jnp.clip(hole_slot, 0, K)) == hole_region)
-    hole_slot = jnp.where(hole_ok & (hole_slot < K + 1), hole_slot, K + 1)
+    hole_eq = hole_region[:, None] == ids[None, :]  # (N, K+1); -1 no match
     if on_tpu:
-        hole_onehot = (hole_slot[:, None]
-                       == jnp.arange(num, dtype=hole_slot.dtype)[None, :])
-        hole_areas = jax.lax.dot_general(
-            hole_onehot.astype(jnp.float32),
-            hole_ok.astype(jnp.float32)[:, None],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)[:K, 0]
+        hole_areas = jnp.sum(hole_eq.astype(jnp.float32), axis=0)[:K]
     else:
+        hole_ok = jnp.any(hole_eq, axis=1)
+        hole_slot = jnp.where(hole_ok, jnp.argmax(hole_eq, axis=1), K + 1)
         hole_areas = jax.ops.segment_sum(
             hole_ok.astype(jnp.float32), hole_slot, num_segments=num)[:K]
     area_filled = area + hole_areas
@@ -491,6 +516,75 @@ def regionprops(
 def clear_border(regions: Regions) -> Regions:
     """Invalidate regions touching the image border (skimage clear_border)."""
     return regions._replace(valid=regions.valid & ~regions.touches_border)
+
+
+def label_batch(masks: jnp.ndarray, connectivity: int = 1,
+                max_iter: int = 512) -> jnp.ndarray:
+    """Batched CCL over (B, h, w) masks — identical per-instance output to
+    :func:`label`, but the whole batch sweeps together.
+
+    On TPU, blocks of instances run in ONE VMEM-resident pallas program
+    (:func:`pylinac_tpu.ops.pallas_label.label_batched_pallas`); vmapping the
+    single-image kernel instead serializes one grid step per instance
+    (~15 ms each — minutes for a 400-window threshold scan)."""
+    from .pallas_label import label_batched_pallas, label_batched_supported
+
+    xla = jax.vmap(lambda m: _label_xla(m.astype(bool), connectivity, max_iter))
+    if label_batched_supported(masks.shape[1:]):
+        return jax.lax.platform_dependent(
+            masks,
+            tpu=lambda m: label_batched_pallas(m.astype(bool), connectivity),
+            default=xla)
+    return xla(masks)
+
+
+def _holes_batch(masks: jnp.ndarray, max_iter: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched hole info (is_hole, bg_lab) over (B, h, w) masks."""
+    from .pallas_label import hole_roots_batched, label_batched_supported
+
+    xla = jax.vmap(lambda m: _holes_xla(m.astype(bool), max_iter))
+
+    def pallas_form(m):
+        out = hole_roots_batched(m.astype(bool))
+        return out >= 0, out
+
+    if label_batched_supported(masks.shape[1:]):
+        return jax.lax.platform_dependent(
+            masks, tpu=pallas_form, default=xla)
+    return xla(masks)
+
+
+def regionprops_batch(
+    masks: jnp.ndarray,
+    intensity: jnp.ndarray | None = None,
+    K: int = 32,
+    connectivity: int = 1,
+    max_iter: int = 512,
+    fill: bool = True,
+    hull: bool = True,
+    minmax: bool = True,
+    chunk: int = 64,
+) -> Regions:
+    """Batched :func:`regionprops` over (B, h, w) masks → Regions with
+    (B, K) fields.
+
+    Labeling and hole-finding run as batched VMEM-resident sweeps; the
+    per-instance property reductions run under ``lax.map`` in chunks of
+    ``chunk`` instances (bounding the transient one-hot memory) inside the
+    same dispatch."""
+    b = masks.shape[0]
+    labs = label_batch(masks, connectivity=connectivity, max_iter=max_iter)
+    is_hole, bg_lab = _holes_batch(masks, max_iter=max_iter)
+    if intensity is None:
+        intensity = masks.astype(jnp.float32)
+
+    def one(args):
+        m, l, i, ih, bl = args
+        return _props_from_label(m.astype(bool), l, i, ih, bl, K=K,
+                                 hull=hull, minmax=minmax)
+
+    return jax.lax.map(one, (masks, labs, intensity, is_hole, bg_lab),
+                       batch_size=min(chunk, b))
 
 
 @functools.partial(jax.jit,

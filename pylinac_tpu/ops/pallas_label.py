@@ -304,3 +304,162 @@ def label_pallas_supported(shape: tuple[int, int]) -> bool:
     h, w = shape
     # ~6 int32 live arrays of (h, w) during the sweep
     return h * w * 4 * 6 <= 12 * 1024 * 1024 and h >= 8 and w >= 128
+
+
+# ---------------------------------------------------------------------------
+# Batched small-window CCL
+#
+# vmapping the single-image kernel serializes: each instance pays its own
+# grid step, convergence loop and per-op overhead (~15 ms for a 116² window
+# — 416 WL threshold-windows took minutes). Here a BLOCK of instances is
+# flattened to one (bc·hp, wp) VMEM image and swept TOGETHER: row shifts
+# carry an instance-local row mask so propagation (and the log-doubling
+# segmented sweeps) never crosses instance boundaries, and the convergence
+# loop runs once per block. Windows narrower than the 128 lane width are
+# zero-padded (padding is background, which provably changes neither the
+# labels nor the hole set — bg padding only adds border-connected bg).
+# ---------------------------------------------------------------------------
+def _batch_pad_dims(h: int, w: int) -> tuple[int, int]:
+    hp = -(-h // 8) * 8
+    wp = max(-(-w // 128) * 128, 128)
+    return hp, wp
+
+
+def _batch_block(b: int, hp: int, wp: int) -> int:
+    """Instances per grid step under the VMEM budget. The sweep keeps ~12
+    (hp, wp) i32 arrays live (v/reach/shift temporaries + iota masks) against
+    the 16 MB scoped-vmem limit."""
+    per = hp * wp * 4 * 12
+    return max(1, min(b, (12 * 1024 * 1024) // per))
+
+
+def _batched_sweep_kernel(mask_ref, out_ref, *, mode: str, connectivity: int,
+                          bc: int, hp: int, wp: int, htrue: int, wtrue: int):
+    """Shared body for the batched label ('label') and hole-root ('holes')
+    min-propagation kernels over a flattened (bc·hp, wp) block."""
+    n_rows = bc * hp
+    flat = mask_ref[:].reshape(n_rows, wp)
+    fg = flat != 0
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, wp), 0)
+    row_in = jnp.remainder(row, hp)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, wp), 1)
+    sentinel = jnp.int32(htrue * wtrue)
+    lin = row_in * wtrue + col
+
+    def shift_r(x, d, fill):
+        rolled = pltpu.roll(x, d % n_rows, 0)
+        m = (row_in >= d) if d > 0 else (row_in < hp + d)
+        return jnp.where(m, rolled, fill)
+
+    def shift_c(x, d, fill):
+        rolled = pltpu.roll(x, d % wp, 1)
+        m = (col >= d) if d > 0 else (col < wp + d)
+        return jnp.where(m, rolled, fill)
+
+    def shift2(x, dy, dx, fill):
+        if dy:
+            x = shift_r(x, dy, fill)
+        if dx:
+            x = shift_c(x, dx, fill)
+        return x
+
+    if mode == "label":
+        domain = fg
+        v0 = jnp.where(fg, lin, sentinel)
+        if connectivity == 1:
+            shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        else:
+            shifts = [(-1, 0), (1, 0), (0, -1), (0, 1),
+                      (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    else:  # holes: min-propagate over background; border bg seeds with -1
+        domain = jnp.logical_not(fg)
+        border = ((row_in == 0) | (row_in == hp - 1)
+                  | (col == 0) | (col == wp - 1))
+        v0 = jnp.where(domain, jnp.where(border, -1, lin), sentinel)
+        shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+    dom_i = domain.astype(jnp.int32)
+
+    def seg_sweep(vals, axis: int, sign: int):
+        shift = shift_r if axis == 0 else shift_c
+        v = vals
+        reach = dom_i
+        d = 1
+        n = hp if axis == 0 else wp
+        while d < n:
+            sv = shift(v, sign * d, sentinel)
+            sr = shift(reach, sign * d, jnp.int32(0))
+            both = (reach & sr) != 0
+            v = jnp.where(both, jnp.minimum(v, sv), v)
+            reach = reach & sr
+            d *= 2
+        return v
+
+    def sweep(v):
+        best = v
+        for dy, dx in shifts:
+            best = jnp.minimum(best, shift2(v, dy, dx, sentinel))
+        best = jnp.where(domain, best, sentinel)
+        for axis in (0, 1):
+            for sign in (1, -1):
+                best = jnp.minimum(best, seg_sweep(best, axis, sign))
+        return jnp.where(domain, best, sentinel)
+
+    def body(state):
+        v, _, it = state
+        new = jax.lax.fori_loop(0, CHECK_EVERY, lambda _, b: sweep(b), v)
+        return new, jnp.any(new != v), it + CHECK_EVERY
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < MAX_ITERS)
+
+    v, _, _ = jax.lax.while_loop(cond, body, (v0, jnp.bool_(True), 0))
+    if mode == "label":
+        out = jnp.where(fg, v, -1)
+    else:
+        out = jnp.where(domain, v, -2)
+    out_ref[:] = out.reshape(out_ref.shape)
+
+
+def _batched_call(masks: jnp.ndarray, mode: str, connectivity: int) -> jnp.ndarray:
+    """Pad, block and launch the batched sweep kernel. Traceable."""
+    b, h, w = masks.shape
+    hp, wp = _batch_pad_dims(h, w)
+    bc = _batch_block(b, hp, wp)
+    bpad = -(-b // bc) * bc
+    m = jnp.pad(masks.astype(jnp.int32),
+                ((0, bpad - b), (0, hp - h), (0, wp - w)))
+    kern = functools.partial(_batched_sweep_kernel, mode=mode,
+                             connectivity=connectivity, bc=bc, hp=hp, wp=wp,
+                             htrue=h, wtrue=w)
+    out = pl.pallas_call(
+        kern,
+        grid=(bpad // bc,),
+        out_shape=jax.ShapeDtypeStruct((bpad, hp, wp), jnp.int32),
+        in_specs=[pl.BlockSpec((bc, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bc, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(m)
+    return out[:b, :h, :w]
+
+
+def label_batched_pallas(masks: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
+    """Traceable batched CCL: (B, h, w) masks → (B, h, w) int32 labels
+    (bg = -1, components carry their min TRUE linear index)."""
+    return _batched_call(masks, "label", connectivity)
+
+
+def hole_roots_batched(masks: jnp.ndarray) -> jnp.ndarray:
+    """Traceable batched hole roots: per pixel -1 border-reachable bg,
+    hole-root linear index for hole pixels, -2 fg."""
+    return _batched_call(masks, "holes", 1)
+
+
+def label_batched_supported(shape: tuple[int, int]) -> bool:
+    """The batched kernel pads to lane width, so any window that fits a
+    one-instance block qualifies."""
+    h, w = shape
+    hp, wp = _batch_pad_dims(h, w)
+    return hp * wp * 4 * 6 <= 10 * 1024 * 1024

@@ -529,6 +529,14 @@ class WLBaseImage(image.LinacDicomImage):
         return self.find_bb_matches(detected_points, bb_proximity_mm=bb_proximity_mm)
 
     def find_bb_centroids(self, bb_diameter_mm: float, low_density: bool) -> list[Point]:
+        pre = getattr(self, "_precomputed_bb_points", None)
+        if pre is not None:
+            if not pre:
+                raise ValueError(
+                    "Couldn't find the minimum number of disks in the image. "
+                    "Found 0; required: 1")
+            # fresh copies: callers mutate the points (virtual shift)
+            return [Point(x=p.x, y=p.y) for p in pre]
         bb_tolerance_mm = self._calculate_bb_tolerance(bb_diameter_mm)
         return self.compute(metrics=SizedDiskLocator.from_center_physical(
             expected_position_mm=(0, 0),
@@ -828,6 +836,8 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
             open_field = True
         if not open_field:
             self._batch_field_centroids()
+        self._batch_bb_centroids(bb_size_mm=bb_size_mm,
+                                 low_density=low_density_bb)
         for img in self.images:
             img.analyze(bb_size_mm=bb_size_mm, low_density_bb=low_density_bb,
                         open_field=open_field, snap_tolerance=snap_tolerance,
@@ -862,13 +872,7 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
         field centroids in one fused device dispatch per shape group — the
         per-image dispatch round trips dominate WL latency on a tunneled
         device. Per-image results are identical to the sequential path."""
-        for img in self.images:
-            if not getattr(img, "_wl_preprocessed", False):
-                img.check_inversion_by_histogram(percentiles=(0.01, 50, 99.99))
-                img._clean_edges()
-                img.ground()
-                img.normalize()
-                img._wl_preprocessed = True
+        self._ensure_preprocessed()
         groups: dict[tuple, list] = {}
         for img in self.images:
             groups.setdefault(tuple(img.array.shape), []).append(img)
@@ -883,6 +887,58 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
             for img, c in zip(shaped, cents):
                 img._precomputed_field_centroid = Point(x=float(c[1]),
                                                         y=float(c[0]))
+
+    def _ensure_preprocessed(self) -> None:
+        """Apply the per-image WL preprocessing chain once (the pre-passes
+        and ``WLBaseImage.analyze`` share this state)."""
+        for img in self.images:
+            if not getattr(img, "_wl_preprocessed", False):
+                img.check_inversion_by_histogram(percentiles=(0.01, 50, 99.99))
+                img._clean_edges()
+                img.ground()
+                img.normalize()
+                img._wl_preprocessed = True
+
+    def _batch_bb_centroids(self, bb_size_mm: float, low_density: bool) -> None:
+        """Pre-pass: the windowed multi-threshold BB search for ALL images in
+        one fused device dispatch per shape group
+        (:func:`pylinac_tpu.metrics.batch_find.batched_bb_windows`) — the
+        per-image scan costs one device round trip per threshold, which
+        dominates WL latency on a remote chip.  Results are cached on each
+        image and are identical to the sequential path (reference semantics:
+        ``/root/reference/pylinac/winston_lutz.py:788-808``)."""
+        import math as _math
+
+        from .metrics.batch_find import batched_bb_windows
+
+        default = WLBaseImage.detection_conditions
+        if any(list(img.detection_conditions) != list(default)
+               for img in self.images):
+            return  # custom predicate chains take the per-image path
+        dpmms = {round(float(img.dpmm), 6) for img in self.images}
+        if len(dpmms) != 1:
+            return
+        self._ensure_preprocessed()
+        dpmm = float(self.images[0].dpmm)
+        windows, offsets = [], []
+        for img in self.images:
+            # window geometry mirrors SizedDiskRegion.calculate
+            # (from_center_physical with expected position (0, 0))
+            sw = (40 + bb_size_mm) * dpmm
+            cx = img.shape[1] / 2
+            cy = img.shape[0] / 2
+            left = max(_math.floor(cx - sw / 2), 0)
+            right = _math.ceil(cx + sw / 2)
+            top = max(_math.floor(cy - sw / 2), 0)
+            bottom = _math.ceil(cy + sw / 2)
+            windows.append(np.asarray(img.array)[top:bottom, left:right])
+            offsets.append((top, left))
+        tol_mm = self.images[0]._calculate_bb_tolerance(bb_size_mm)
+        found = batched_bb_windows(windows, dpmm, bb_size_mm / 2, tol_mm,
+                                   invert=not low_density)
+        for img, pts, (top, left) in zip(self.images, found, offsets):
+            img._precomputed_bb_points = [Point(x=c + left, y=r + top)
+                                          for r, c in pts]
 
     @lru_cache()
     def _minimize_axis(self, axes=(Axis.GANTRY,)):
