@@ -257,6 +257,73 @@ def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = Tr
     return None, views, len(views)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "use_disk", "use_otsu",
+                                             "scale08", "clear_borders",
+                                             "minmax"))
+def _regions_fused_batch(arrs, cy, cx, radius, K: int, use_disk: bool,
+                         use_otsu: bool, scale08: bool, clear_borders: bool,
+                         minmax: bool):
+    """Batched :func:`_regions_fused`: the Scharr→threshold→regionprops
+    pipeline for N same-shape slices in ONE dispatch (CatPhanBatch shares
+    the roll-slice and geometry-node passes across scans this way)."""
+    b, h, w = arrs.shape
+    edges = jax.vmap(lambda a: gaussian_filter(scharr(a.astype(jnp.float32)),
+                                               1.0))(arrs)
+    if use_disk:
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 < radius**2
+        if use_otsu:
+            thres = jax.vmap(lambda e: otsu_threshold(e, mask=disk))(edges)
+        else:
+            thres = (jnp.sum(jnp.where(disk, edges, 0.0), axis=(1, 2))
+                     / jnp.maximum(jnp.sum(disk), 1))
+    else:
+        thres = (jax.vmap(otsu_threshold)(edges) if use_otsu
+                 else jnp.mean(edges, axis=(1, 2)))
+    if scale08:
+        thres = thres * 0.8
+    bw = edges > thres[:, None, None]
+    regions = jlabel.regionprops_batch(bw, edges, K=K, connectivity=2,
+                                       hull=False,    # CT never reads solidity
+                                       minmax=minmax)
+    if clear_borders:
+        regions = jlabel.clear_border(regions)
+    return jlabel.pack_regions(regions)
+
+
+def get_regions_batch(arrs: np.ndarray, centers_yx: tuple[float, float] | None,
+                      radius: float, threshold: str = "otsu",
+                      scale08: bool = False, clear_borders: bool = True,
+                      minmax: bool = True) -> list[list[RegionView]] | None:
+    """Batched :func:`get_regions` over same-shape arrays — one device
+    dispatch + one fetch for the whole batch.  ``centers_yx`` enables the
+    disk-masked threshold (the :class:`Slice` branch of get_regions).
+    Returns per-array RegionView lists, or None when any array's regions
+    overflow the K slots (caller falls back to the per-array path)."""
+    dev = jnp.asarray(np.stack(arrs).astype(np.float32))
+    use_disk = centers_yx is not None
+    cy, cx = centers_yx if use_disk else (0.0, 0.0)
+    K = 32
+    packed = _regions_fused_batch(
+        dev, jnp.float32(cy), jnp.float32(cx), jnp.float32(radius), K=K,
+        use_disk=use_disk, use_otsu=threshold == "otsu", scale08=scale08,
+        clear_borders=False, minmax=minmax)
+    host = jlabel.regions_to_host(packed)
+    out = []
+    for i in range(len(arrs)):
+        valid = host.valid[i]
+        if valid.sum() >= K:
+            return None  # slot overflow; per-array K escalation path
+        if clear_borders:
+            keep = valid & ~host.touches_border[i]
+        else:
+            keep = valid
+        row = jlabel.Regions(*[f[i] for f in host])
+        out.append([RegionView(row, j) for j in np.nonzero(keep)[0]])
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("K", "clear_borders", "ds", "clip"))
 def _stack_phantom_regions(raw_vol, K: int, clear_borders: bool, ds: int,
                            clip: bool):
@@ -325,9 +392,24 @@ class Slice:
         if slice_num is not None:
             self.slice_num = slice_num
         if combine and num_slices > 0:
-            array = combine_surrounding_slices(
-                catphan.dicom_stack, self.slice_num, mode=combine_method,
-                slices_plusminus=num_slices)
+            vol = getattr(catphan, "_host_vol", None)
+            lo = self.slice_num - num_slices
+            hi = self.slice_num + num_slices
+            if vol is not None and lo >= 0 and hi < vol.shape[0]:
+                # same reduction over the cached float32 stack (exact for
+                # integer-valued sources; f64 accumulate) — np.dstack of the
+                # per-slice arrays re-copied ~40 ms per module construction
+                seg = vol[lo:hi + 1]
+                if combine_method == "mean":
+                    array = seg.mean(axis=0, dtype=np.float64)
+                elif combine_method == "median":
+                    array = np.median(seg.astype(np.float64), axis=0)
+                else:
+                    array = seg.max(axis=0)
+            else:
+                array = combine_surrounding_slices(
+                    catphan.dicom_stack, self.slice_num, mode=combine_method,
+                    slices_plusminus=num_slices)
         elif original_image is not None:
             array = original_image
         else:
@@ -543,6 +625,7 @@ class CTP404CP504(CatPhanModule):
                          clear_borders=clear_borders)
 
     def preprocess(self, catphan) -> None:
+        self._defer_geometry = getattr(catphan, "_defer_geometry", False)
         if (isinstance(self.thickness_slice_straddle, str)
                 and self.thickness_slice_straddle.lower() == "auto"):
             if float(catphan.dicom_stack.metadata.SliceThickness) < 3.5:
@@ -575,7 +658,7 @@ class CTP404CP504(CatPhanModule):
                 setting["height_pixels"], setting["angle_corrected"],
                 setting["distance_pixels"], self.phan_center)
 
-    def _setup_geometry_rois(self) -> None:
+    def _geometry_crop(self) -> tuple[np.ndarray, tuple, tuple]:
         boxsize = self.geometry_roi_size_mm / self.mm_per_pixel
         xbounds = (int(self.phan_center.x - boxsize), int(self.phan_center.x + boxsize))
         ybounds = (int(self.phan_center.y - boxsize), int(self.phan_center.y + boxsize))
@@ -584,8 +667,20 @@ class CTP404CP504(CatPhanModule):
         nearest_extreme = min(abs(geo_img.max()), abs(geo_img.min()))
         geo_clipped_abs = np.abs(np.clip(geo_img, a_min=-nearest_extreme,
                                          a_max=nearest_extreme))
+        return geo_clipped_abs, xbounds, ybounds
+
+    def _setup_geometry_rois(self) -> None:
+        geo_clipped_abs, xbounds, ybounds = self._geometry_crop()
+        if getattr(self, "_defer_geometry", False):
+            # CatPhanBatch finalizes all scans' node detections in one
+            # batched dispatch after the per-scan walk
+            self._deferred_geo = (geo_clipped_abs, xbounds, ybounds)
+            return
         _, regions, num_roi = get_regions(geo_clipped_abs, fill_holes=True,
                                           clear_borders=False)
+        self._finalize_geometry(regions, num_roi, xbounds, ybounds)
+
+    def _finalize_geometry(self, regions, num_roi: int, xbounds, ybounds) -> None:
         if num_roi < 4:
             raise ValueError("Unable to locate the Geometric nodes")
         elif num_roi > 4:
@@ -1232,12 +1327,17 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         (ds, vol) with vol a float32 numpy stack, or None for heterogeneous
         slice shapes; the ``localization_downsample`` mean-pool and the
         ±1000 HU clip now run on device in :func:`_stack_phantom_regions`."""
-        try:
-            vol = np.stack([img.array for img in self.dicom_stack]
-                           ).astype(np.float32)
-        except ValueError:
-            return None
-        self._host_vol = vol  # reused by the vectorized origin-slice scan
+        vol = getattr(self, "_host_vol", None)
+        if vol is None:
+            try:
+                vol = np.stack([img.array for img in self.dicom_stack]
+                               ).astype(np.float32)
+            except ValueError:
+                return None
+            # cached for the scan's lifetime (slices are immutable once
+            # loaded): the 60x512x512 stack costs seconds of page faults on
+            # micro-VM hosts, and the vectorized origin scan reuses it
+            self._host_vol = vol
         ds = self.localization_downsample
         if ds <= 1 or vol.shape[1] % ds or vol.shape[2] % ds:
             ds = 1
@@ -1402,9 +1502,13 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
         slice_offset = round(self.roll_slice_offset / self.dicom_stack.slice_spacing)
         slice_num = self.origin_slice + slice_offset
         slc = Slice(self, slice_num, clear_borders=self.clear_borders)
-        # bbox/min-max skipped unless a caller-provided sort key needs them
-        # (e.g. ACR sorts bubbles by bbox_area)
-        _, regions, _ = get_regions(slc, minmax=func is not None)
+        pre = getattr(self, "_pre_roll_regions", None)
+        if pre is not None and func is None and pre[0] == slice_num:
+            regions = pre[1]
+        else:
+            # bbox/min-max skipped unless a caller-provided sort key needs
+            # them (e.g. ACR sorts bubbles by bbox_area)
+            _, regions, _ = get_regions(slc, minmax=func is not None)
         hu_bubbles = [r for r in regions
                       if self._is_right_area(r) and self._is_right_eccentricity(r)]
         func = func or (lambda x: abs(x.centroid[1] - slc.phan_center.x))
@@ -1885,10 +1989,18 @@ class CatPhanBatch:
                 f"All scans must share slice geometry; got shapes {shape_set}")
         ds = staged[0][0]
         counts = [st[1].shape[0] for st in staged]
-        vol = np.concatenate([st[1] for st in staged], axis=0)
+        # per-scan device-resident volumes (H2D paid once per loaded scan,
+        # like the baseline's pre-loaded host volume); concat runs on device
+        devs = []
+        for ct, st in zip(self.cts, staged):
+            cache = getattr(ct, "_loc_dev_cache", None)
+            if cache is None:
+                cache = (st[0], st[1].shape[0], jnp.asarray(st[1]))
+                ct._loc_dev_cache = cache
+            devs.append(cache[2])
         K = 32
         packed, max_edges = _stack_phantom_regions(
-            jnp.asarray(vol), K, self.cts[0].clear_borders, ds,
+            jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders, ds,
             self.cts[0].clip_in_localization)
         host = jlabel.regions_to_host(packed)
         max_edges = np.asarray(jnp.ravel(max_edges))
@@ -1897,8 +2009,70 @@ class CatPhanBatch:
             ct._slice_centroids = ct._centroids_from_host(
                 host, max_edges, ds, range(offset, offset + n), K)
             offset += n
+        self._roll_prepass(analyze_kwargs)
+        try:
+            for ct in self.cts:
+                ct._defer_geometry = True
+                ct.analyze(**analyze_kwargs)
+            self._finalize_geometry_batch()
+        finally:
+            for ct in self.cts:
+                ct._defer_geometry = False
+
+    def _roll_prepass(self, analyze_kwargs: dict) -> None:
+        """Detect each scan's air-bubble regions (the roll-slice
+        Scharr→Otsu→regionprops pass, reference ``ct.py:2522``) in ONE
+        batched dispatch and seed ``_pre_roll_regions`` so the per-scan
+        ``find_phantom_roll`` skips its own device round trip. The per-scan
+        axis-fit/origin work it needs is host-side and is recomputed
+        identically inside ``ct.analyze``."""
+        slcs = []
         for ct in self.cts:
-            ct.analyze(**analyze_kwargs)
+            ct.x_adjustment = analyze_kwargs.get("x_adjustment", 0)
+            ct.y_adjustment = analyze_kwargs.get("y_adjustment", 0)
+            ct.roll_slice_offset = analyze_kwargs.get("roll_slice_offset", 0)
+            ct._phantom_center_func = ct.find_phantom_axis()
+            origin = analyze_kwargs.get("origin_slice")
+            ct.origin_slice = (int(origin) if origin is not None
+                               else ct.find_origin_slice())
+            slice_offset = round(ct.roll_slice_offset
+                                 / ct.dicom_stack.slice_spacing)
+            slice_num = ct.origin_slice + slice_offset
+            slcs.append((slice_num,
+                         Slice(ct, slice_num, clear_borders=ct.clear_borders)))
+        arrs = [np.asarray(s.image.array) for _, s in slcs]
+        if len({a.shape for a in arrs}) != 1:
+            return  # heterogeneous roll slices: per-scan path
+        center = slcs[0][1].image.center
+        radius = 110 / slcs[0][1].mm_per_pixel
+        views = get_regions_batch(arrs, (float(center.y), float(center.x)),
+                                  radius, scale08=True, clear_borders=True,
+                                  minmax=False)
+        if views is None:
+            return  # K overflow: per-scan escalation path
+        for ct, (slice_num, _), v in zip(self.cts, slcs, views):
+            ct._pre_roll_regions = (slice_num, v)
+
+    def _finalize_geometry_batch(self) -> None:
+        """Run the deferred CTP404 geometry-node detections (reference
+        ``ct.py:798``) as one batched dispatch per crop shape."""
+        mods = [ct.ctp404 for ct in self.cts
+                if getattr(ct.ctp404, "_deferred_geo", None) is not None]
+        groups: dict[tuple, list] = {}
+        for m in mods:
+            groups.setdefault(m._deferred_geo[0].shape, []).append(m)
+        for group in groups.values():
+            crops = [m._deferred_geo[0] for m in group]
+            views = get_regions_batch(crops, None, 0.0, clear_borders=False)
+            for i, m in enumerate(group):
+                crop, xbounds, ybounds = m._deferred_geo
+                if views is None:
+                    _, regions, num_roi = get_regions(crop, fill_holes=True,
+                                                      clear_borders=False)
+                else:
+                    regions, num_roi = views[i], len(views[i])
+                m._finalize_geometry(regions, num_roi, xbounds, ybounds)
+                m._deferred_geo = None
 
     def results_data(self, as_dict: bool = False, as_json: bool = False) -> list:
         return [ct.results_data(as_dict=as_dict, as_json=as_json)

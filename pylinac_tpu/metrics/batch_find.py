@@ -116,8 +116,6 @@ def batched_bb_windows(windows: list[np.ndarray], dpmm: float,
     window, the kept weighted centroids ``(row, col)`` in window coordinates
     of the first successful threshold — [] when nothing was found.
     """
-    from ..ops import route
-
     prepared = []
     for win in windows:
         w = np.asarray(win, np.float32)
@@ -129,9 +127,12 @@ def batched_bb_windows(windows: list[np.ndarray], dpmm: float,
     groups: dict[tuple[int, int], list[int]] = {}
     for i, w in enumerate(prepared):
         groups.setdefault(w.shape, []).append(i)
-    cutoffs = route.put(reference_cutoffs())
+    # default-backend placement on purpose: the batched (T*B)-instance CCL
+    # is exactly the work the accelerator is for — route.put's small-array
+    # CPU routing would run it as a serial XLA loop on one core
+    cutoffs = jax.device_put(reference_cutoffs())
     for idxs in groups.values():
-        stackdev = route.put(np.stack([prepared[i] for i in idxs]))
+        stackdev = jax.device_put(np.stack([prepared[i] for i in idxs]))
         packed = np.asarray(_batched_bb_scan(
             stackdev, cutoffs, K=K, dpmm=float(dpmm),
             bb_radius_mm=float(bb_radius_mm),

@@ -527,20 +527,32 @@ def label_batch(masks: jnp.ndarray, connectivity: int = 1,
     (:func:`pylinac_tpu.ops.pallas_label.label_batched_pallas`); vmapping the
     single-image kernel instead serializes one grid step per instance
     (~15 ms each — minutes for a 400-window threshold scan)."""
-    from .pallas_label import label_batched_pallas, label_batched_supported
+    from .pallas_label import (_label_kernel_call, label_batched_pallas,
+                               label_batched_supported, label_pallas_supported)
 
     xla = jax.vmap(lambda m: _label_xla(m.astype(bool), connectivity, max_iter))
-    if label_batched_supported(masks.shape[1:]):
+    shape = masks.shape[1:]
+    if label_batched_supported(shape):
         return jax.lax.platform_dependent(
             masks,
             tpu=lambda m: label_batched_pallas(m.astype(bool), connectivity),
+            default=xla)
+    if label_pallas_supported(shape):
+        # instance too large to block-batch: serial map over the
+        # single-image VMEM kernel still beats vmapped XLA label on TPU
+        # by ~80x per instance
+        return jax.lax.platform_dependent(
+            masks,
+            tpu=lambda m: jax.lax.map(
+                lambda x: _label_kernel_call(x.astype(bool), connectivity), m),
             default=xla)
     return xla(masks)
 
 
 def _holes_batch(masks: jnp.ndarray, max_iter: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched hole info (is_hole, bg_lab) over (B, h, w) masks."""
-    from .pallas_label import hole_roots_batched, label_batched_supported
+    from .pallas_label import (hole_roots, hole_roots_batched,
+                               label_batched_supported, label_pallas_supported)
 
     xla = jax.vmap(lambda m: _holes_xla(m.astype(bool), max_iter))
 
@@ -548,9 +560,17 @@ def _holes_batch(masks: jnp.ndarray, max_iter: int = 512) -> tuple[jnp.ndarray, 
         out = hole_roots_batched(m.astype(bool))
         return out >= 0, out
 
-    if label_batched_supported(masks.shape[1:]):
+    def pallas_mapped(m):
+        out = jax.lax.map(lambda x: hole_roots(x.astype(bool)), m)
+        return out >= 0, out
+
+    shape = masks.shape[1:]
+    if label_batched_supported(shape):
         return jax.lax.platform_dependent(
             masks, tpu=pallas_form, default=xla)
+    if label_pallas_supported(shape):
+        return jax.lax.platform_dependent(
+            masks, tpu=pallas_mapped, default=xla)
     return xla(masks)
 
 

@@ -459,7 +459,180 @@ def hole_roots_batched(masks: jnp.ndarray) -> jnp.ndarray:
 
 def label_batched_supported(shape: tuple[int, int]) -> bool:
     """The batched kernel pads to lane width, so any window that fits a
-    one-instance block qualifies."""
+    one-instance block qualifies (512x512 CT slices do: ~11 live 1 MB
+    arrays vs the 16 MB scoped-vmem limit)."""
     h, w = shape
     hp, wp = _batch_pad_dims(h, w)
-    return hp * wp * 4 * 6 <= 10 * 1024 * 1024
+    return hp * wp * 4 * 12 <= 14 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed border flood + filled centroid
+#
+# Full-resolution EPID frames (1280^2) don't fit VMEM as int32 images, which
+# forced hole filling back to the HBM-round-tripping XLA form. Packing 32
+# columns per int32 word shrinks a 1280^2 mask to 1280x40 words (205 KB), so
+# a WHOLE BATCH of frames floods in one VMEM-resident program. Propagation
+# becomes bitwise OR constrained to background, swept to convergence with
+# Kogge-Stone prefix fills (the chess-bitboard "occluded fill"): log2 steps
+# per direction, carries crossing word boundaries by word-axis shifts.
+#
+# Layout: (B*WW, H) int32 — image ROWS live on the 128-lane axis, (instance,
+# word) pairs on the sublane axis. Row shifts are lane rolls; column shifts
+# are bit shifts + word-axis rolls masked at instance boundaries.
+# ---------------------------------------------------------------------------
+_SRL = jax.lax.shift_right_logical
+
+# bit-index masks: mask_k selects bits whose index has bit k set, so
+# sum_b b*bit_b = sum_k 2^k * popcount(v & mask_k)
+_BIT_IX_MASKS = tuple(
+    int(np.uint32(m).astype(np.int32))
+    for m in (0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00, 0xFFFF0000))
+
+
+def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
+    """SWAR popcount on int32 words (vector-unit friendly)."""
+    v = v - (_SRL(v, 1) & 0x55555555)
+    v = (v & 0x33333333) + (_SRL(v, 2) & 0x33333333)
+    v = (v + _SRL(v, 4)) & 0x0F0F0F0F
+    return _SRL(v * 0x01010101, 24)
+
+
+def _flood_packed_kernel(fgp_ref, out_ref, *, bc: int, ww: int, hp: int,
+                         h_true: int, w_true: int):
+    n_rows = bc * ww
+    fg = fgp_ref[:].reshape(n_rows, hp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, hp), 1)  # image row
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (n_rows, hp), 0)
+    win = jnp.remainder(wrow, ww)                                # word index
+
+    # valid bits of each word: columns < w_true, rows < h_true
+    rem = jnp.clip(w_true - 32 * win, 0, 32)
+    word_mask = jnp.where(rem >= 32, jnp.int32(-1),
+                          (jnp.int32(1) << rem) - 1)
+    valid = jnp.where(lane < h_true, word_mask, 0)
+    bg = valid & ~fg
+
+    def word_shift(x, m):
+        rolled = pltpu.roll(x, m % n_rows, 0)
+        mask = (win >= m) if m > 0 else (win < ww + m)
+        return jnp.where(mask, rolled, 0)
+
+    def lane_shift(x, d):
+        rolled = pltpu.roll(x, d % hp, 1)
+        mask = (lane >= d) if d > 0 else (lane < hp + d)
+        return jnp.where(mask, rolled, 0)
+
+    def east(x, d):  # toward higher columns
+        if d < 32:
+            return (x << d) | _SRL(word_shift(x, 1), 32 - d)
+        return word_shift(x, d // 32)
+
+    def west(x, d):
+        if d < 32:
+            return _SRL(x, d) | (word_shift(x, -1) << (32 - d))
+        return word_shift(x, -(d // 32))
+
+    def south(x, d):
+        return lane_shift(x, d)
+
+    def north(x, d):
+        return lane_shift(x, -d)
+
+    def ks_fill(gen, shift_fn, limit):
+        pro = bg
+        d = 1
+        while d < limit:
+            gen = gen | (pro & shift_fn(gen, d))
+            pro = pro & shift_fn(pro, d)
+            d *= 2
+        return gen
+
+    # border-touching background seeds
+    border_rows = jnp.where((lane == 0) | (lane == h_true - 1),
+                            jnp.int32(-1), 0)
+    first_col = jnp.where(win == 0, jnp.int32(1), 0)
+    last_w, last_b = (w_true - 1) // 32, (w_true - 1) % 32
+    last_col = jnp.where(win == last_w, jnp.int32(1) << last_b, 0)
+    seeds = bg & (border_rows | first_col | last_col)
+
+    def body(state):
+        reach, _, it = state
+        r = reach
+        r = ks_fill(r, east, ww * 32)
+        r = ks_fill(r, west, ww * 32)
+        r = ks_fill(r, south, hp)
+        r = ks_fill(r, north, hp)
+        return r, jnp.any(r != reach), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < 64)
+
+    reach, _, _ = jax.lax.while_loop(cond, body, (seeds, jnp.bool_(True), 0))
+    filled = (fg & valid) | (bg & ~reach)
+
+    pc = _popcount32(filled).astype(jnp.float32)
+    xbit = jnp.zeros_like(pc)
+    for k, m in enumerate(_BIT_IX_MASKS):
+        xbit = xbit + (1 << k) * _popcount32(filled & m).astype(jnp.float32)
+    mass = pc
+    ysum = pc * lane.astype(jnp.float32)
+    xsum = 32.0 * win.astype(jnp.float32) * pc + xbit
+
+    sums = jnp.stack([
+        mass.reshape(bc, ww, hp).sum(axis=(1, 2)),
+        ysum.reshape(bc, ww, hp).sum(axis=(1, 2)),
+        xsum.reshape(bc, ww, hp).sum(axis=(1, 2)),
+    ], axis=-1)                                    # (bc, 3)
+    out_ref[:] = jnp.pad(sums, ((0, 0), (0, 128 - 3)))
+
+
+def _pack_cols(masks: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
+    """(B, H, W) bool → (B, WWp, Hp) int32 with 32 columns per word
+    (bit b of word k = column 32k+b). Pure XLA; runs on any backend."""
+    b, h, w = masks.shape
+    w32 = -(-w // 32) * 32
+    m = jnp.pad(masks, ((0, 0), (0, 0), (0, w32 - w)))
+    weights = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))
+    packed = jnp.sum(m.reshape(b, h, w32 // 32, 32).astype(jnp.int32)
+                     * weights, axis=-1, dtype=jnp.int32)
+    packed = jnp.transpose(packed, (0, 2, 1))      # (B, WW, H)
+    ww = w32 // 32
+    wwp = -(-ww // 8) * 8
+    hp = max(-(-h // 128) * 128, 128)
+    packed = jnp.pad(packed, ((0, 0), (0, wwp - ww), (0, hp - h)))
+    return packed, wwp, hp
+
+
+def filled_centroid_packed(masks: jnp.ndarray) -> jnp.ndarray:
+    """Traceable: (B, H, W) bool masks → (B, 2) f32 (cy, cx) centroids of
+    the hole-filled masks, flooding the whole batch bit-packed in VMEM."""
+    b, h, w = masks.shape
+    packed, wwp, hp = _pack_cols(masks)
+    per = wwp * hp * 4 * 8
+    bc = max(1, min(b, (12 * 1024 * 1024) // per))
+    bpad = -(-b // bc) * bc
+    packed = jnp.pad(packed, ((0, bpad - b), (0, 0), (0, 0)))
+    kern = functools.partial(_flood_packed_kernel, bc=bc, ww=wwp, hp=hp,
+                             h_true=h, w_true=w)
+    out = pl.pallas_call(
+        kern,
+        grid=(bpad // bc,),
+        out_shape=jax.ShapeDtypeStruct((bpad, 128), jnp.float32),
+        in_specs=[pl.BlockSpec((bc, wwp, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bc, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(packed)[:b]
+    mass = jnp.maximum(out[:, 0], 1.0)
+    return jnp.stack([out[:, 1] / mass, out[:, 2] / mass], axis=-1)
+
+
+def flood_packed_supported(shape: tuple[int, int]) -> bool:
+    """One instance must fit the VMEM block (it always does for clinical
+    frame sizes: a 4096x4096 mask packs to 4 MB)."""
+    h, w = shape
+    wwp = -(-(-(-w // 32)) // 8) * 8   # ceil(ceil(w/32)/8)*8 words
+    hp = max(-(-h // 128) * 128, 128)
+    return wwp * hp * 4 * 8 <= 12 * 1024 * 1024

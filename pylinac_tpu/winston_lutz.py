@@ -428,14 +428,12 @@ def is_right_square_size(region, *args, **kwargs) -> bool:
 # --------------------------------------------------------------------------
 # Images
 # --------------------------------------------------------------------------
-@jax.jit
-def _filled_centroid(arr: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
-    """(cy, cx) center of mass of the hole-filled threshold mask — the
-    whole field-centroid pipeline as one dispatch (two-scalar result)."""
+def _filled_centroid_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """(cy, cx) center of mass of the hole-filled mask (XLA form)."""
     from .ops.label import fill_holes
 
-    filled = fill_holes(arr >= threshold)
-    h, w = arr.shape
+    filled = fill_holes(mask)
+    h, w = mask.shape
     yy = jnp.arange(h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, :]
     f = filled.astype(jnp.float32)
@@ -443,7 +441,27 @@ def _filled_centroid(arr: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.sum(f * yy) / mass, jnp.sum(f * xx) / mass])
 
 
-_filled_centroid_batch = jax.jit(jax.vmap(lambda a, t: _filled_centroid(a, t)))
+@jax.jit
+def _filled_centroid(arr: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
+    """(cy, cx) center of mass of the hole-filled threshold mask — the
+    whole field-centroid pipeline as one dispatch (two-scalar result)."""
+    return _filled_centroid_mask(arr >= threshold)
+
+
+@jax.jit
+def _filled_centroid_batch(arrs: jnp.ndarray, thrs: jnp.ndarray) -> jnp.ndarray:
+    """Batched field centroids. Full-res EPID frames exceed the int32 VMEM
+    budget, so on TPU the flood runs BIT-PACKED (32 columns/word): the whole
+    batch floods in one VMEM-resident Kogge-Stone program
+    (:func:`pylinac_tpu.ops.pallas_label.filled_centroid_packed`)."""
+    from .ops.pallas_label import filled_centroid_packed, flood_packed_supported
+
+    masks = arrs >= thrs[:, None, None]
+    xla = jax.vmap(_filled_centroid_mask)
+    if flood_packed_supported(masks.shape[1:]):
+        return jax.lax.platform_dependent(
+            masks, tpu=filled_centroid_packed, default=xla)
+    return xla(masks)
 
 
 class WLBaseImage(image.LinacDicomImage):
@@ -873,17 +891,26 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
         per-image dispatch round trips dominate WL latency on a tunneled
         device. Per-image results are identical to the sequential path."""
         self._ensure_preprocessed()
-        groups: dict[tuple, list] = {}
-        for img in self.images:
-            groups.setdefault(tuple(img.array.shape), []).append(img)
-        for shaped in groups.values():
-            arrs, thrs = [], []
-            for img in shaped:
-                vmin, vmax = np.percentile(img.array, [5, 99.9])
-                arrs.append(np.asarray(img.array, np.float32))
-                thrs.append((vmax - vmin) / 2 + vmin)
-            cents = np.asarray(_filled_centroid_batch(
-                jnp.asarray(np.stack(arrs)), jnp.asarray(thrs, jnp.float32)))
+        staged = getattr(self, "_field_stage_cache", None)
+        if staged is None:
+            # preprocessed pixels are immutable for the session's lifetime:
+            # stage them (and the percentile thresholds) on device ONCE —
+            # re-shipping ~50 MB of EPID frames dominated repeat analyzes
+            groups: dict[tuple, list] = {}
+            for img in self.images:
+                groups.setdefault(tuple(img.array.shape), []).append(img)
+            staged = []
+            for shaped in groups.values():
+                arrs, thrs = [], []
+                for img in shaped:
+                    vmin, vmax = np.percentile(img.array, [5, 99.9])
+                    arrs.append(np.asarray(img.array, np.float32))
+                    thrs.append((vmax - vmin) / 2 + vmin)
+                staged.append((shaped, jnp.asarray(np.stack(arrs)),
+                               jnp.asarray(thrs, jnp.float32)))
+            self._field_stage_cache = staged
+        for shaped, stackdev, thrsdev in staged:
+            cents = np.asarray(_filled_centroid_batch(stackdev, thrsdev))
             for img, c in zip(shaped, cents):
                 img._precomputed_field_centroid = Point(x=float(c[1]),
                                                         y=float(c[0]))
