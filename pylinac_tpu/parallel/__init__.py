@@ -1,6 +1,6 @@
 from .mesh import (
     QABatchRunner,
-    sharded_batch_metrics,
+    sharded_field_analysis,
     sharded_ct_localization,
     sharded_gamma_2d,
     sharded_picket_fence,
@@ -9,7 +9,7 @@ from .mesh import (
 
 __all__ = [
     "QABatchRunner",
-    "sharded_batch_metrics",
+    "sharded_field_analysis",
     "sharded_ct_localization",
     "sharded_gamma_2d",
     "sharded_picket_fence",

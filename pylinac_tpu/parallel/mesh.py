@@ -21,7 +21,6 @@ import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.field import batched_field_metrics, image_field_metrics
 from ..ops.filters import scharr
 from ..ops.threshold import otsu_threshold
 
@@ -33,21 +32,47 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def sharded_batch_metrics(images: jnp.ndarray, mesh: Mesh,
-                          n_valid: int | None = None):
-    """Run the fused field pipeline data-parallel over the mesh.
+def sharded_field_analysis(images: jnp.ndarray, mesh: Mesh,
+                           n_valid: int | None = None,
+                           dpmm: float = 1.0, **analysis):
+    """Run the REAL fused FieldAnalysis kernel
+    (:func:`pylinac_tpu.ops.field_pipeline.field_analysis_image` — the same
+    per-image product code :class:`~pylinac_tpu.field_analysis.FieldAnalysisBatch`
+    dispatches) data-parallel over the mesh.
 
-    Returns (per-image metrics, global mean field width) — the global stat is
-    produced with a psum inside shard_map so the collective rides ICI.
+    Returns (per-image FieldResult scalar tree, global mean field size mm) —
+    the global stat is produced with a psum inside shard_map so the
+    collective rides ICI.
 
     ``n_valid`` is the true image count when the batch was zero-padded to a
     device-count multiple; padded entries are masked out of the global mean.
+    ``analysis`` overrides the kernel statics (edge, normalization, ...);
+    defaults mirror ``FieldAnalysis.analyze``'s Varian-protocol defaults.
     """
-    n_total = images.shape[0]
+    from ..ops.field_pipeline import FAParams, field_analysis_image
+
+    n_total, H, W = images.shape
     if n_valid is None:
         n_valid = n_total
     n_dev = mesh.shape["data"]  # only the data axis shards the batch
     per_shard = n_total // n_dev
+
+    params = FAParams(
+        dpmm=jnp.float32(dpmm),
+        in_field_ratio=jnp.float32(analysis.pop("in_field_ratio", 0.8)),
+        slope_exclusion_ratio=jnp.float32(
+            analysis.pop("slope_exclusion_ratio", 0.2)),
+        pen_lower=jnp.float32(20.0), pen_upper=jnp.float32(80.0),
+        vert_position=jnp.float32(0.5), horiz_position=jnp.float32(0.5),
+        vert_width=jnp.float32(analysis.pop("vert_width", 0.0)),
+        horiz_width=jnp.float32(analysis.pop("horiz_width", 0.0)))
+    static = dict(
+        samples_v=int(round(H / (dpmm * 0.1))),
+        samples_h=int(round(W / (dpmm * 0.1))),
+        edge="Inflection Derivative", centering="Beam center",
+        normalization="Beam center", flatness="difference",
+        symmetry="point difference")
+    static.update(analysis)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -55,12 +80,14 @@ def sharded_batch_metrics(images: jnp.ndarray, mesh: Mesh,
         out_specs=(P("data"), P()),
     )
     def _run(local_images):
-        local = jax.vmap(image_field_metrics)(local_images.astype(jnp.float32))
+        single = functools.partial(field_analysis_image, params=params,
+                                   **static)
+        local = jax.vmap(single)(local_images.astype(jnp.float32))
         global_idx = (jax.lax.axis_index("data") * per_shard
                       + jnp.arange(per_shard))
-        width = jnp.where(global_idx < n_valid,
-                          local["vertical"].field_width_px, 0.0)
-        total = jax.lax.psum(jnp.sum(width, keepdims=True), axis_name="data")
+        size = jnp.where(global_idx < n_valid,
+                         local["vert"]["field_size_mm"], 0.0)
+        total = jax.lax.psum(jnp.sum(size, keepdims=True), axis_name="data")
         return local, total / n_valid
 
     sharded = jax.device_put(images, NamedSharding(mesh, P("data")))
@@ -224,31 +251,32 @@ def sharded_wl_centroids(images: jnp.ndarray, mesh: Mesh,
 
 class QABatchRunner:
     """Convenience wrapper: compile once, stream QA image batches through the
-    sharded pipeline with shape bucketing to avoid recompiles."""
+    sharded REAL FieldAnalysis pipeline (one compiled program per image
+    shape; the batch axis is padded to a device-count multiple and padded
+    entries are masked out of global stats)."""
 
-    def __init__(self, mesh: Mesh | None = None):
+    def __init__(self, mesh: Mesh | None = None, dpmm: float = 1.0,
+                 **analysis):
         self.mesh = mesh or make_mesh()
-        self._bucket_cache: dict[tuple, object] = {}
-
-    @staticmethod
-    def _bucket_shape(shape: tuple[int, int]) -> tuple[int, int]:
-        """Round H, W up to multiples of 128 so heterogeneous EPID sizes land
-        in a small set of compiled shapes."""
-        return tuple(int(np.ceil(s / 128) * 128) for s in shape)
+        self.dpmm = dpmm
+        self.analysis = analysis
 
     def run(self, images: np.ndarray):
+        """(N, H, W) open-field images → (per-image FieldResult scalar tree,
+        global mean field size mm). Images in one call must share a shape;
+        the product kernel's H/W are baked into the compiled program."""
         from .. import profiling
 
         n, h, w = images.shape
         with profiling.stage("bucket+pad"):
-            bh, bw = self._bucket_shape((h, w))
             n_dev = len(self.mesh.devices.ravel())
             pad_n = int(np.ceil(n / n_dev) * n_dev)
-            batch = np.zeros((pad_n, bh, bw), np.float32)
-            batch[:n, :h, :w] = images
+            batch = np.zeros((pad_n, h, w), np.float32)
+            batch[:n] = images
         with profiling.stage("sharded_compute"):
-            metrics, mean_width = sharded_batch_metrics(
-                jnp.asarray(batch), self.mesh, n_valid=n)
+            metrics, mean_size = sharded_field_analysis(
+                jnp.asarray(batch), self.mesh, n_valid=n, dpmm=self.dpmm,
+                **self.analysis)
             jax.block_until_ready(metrics)
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], metrics), float(
-            np.asarray(mean_width)[0])
+            np.asarray(mean_size)[0])

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from pylinac_tpu.ops import (
     edges,
-    field,
     filters,
     fluence,
     gamma,
@@ -106,7 +105,6 @@ CASES = [
      functools.partial(fluence.interval_fluence, width=64),
      (jnp.zeros((4, 6), jnp.int32), jnp.full((4, 6), 20, jnp.int32),
       jnp.ones(6, jnp.float32), jnp.zeros(4, bool)), None),
-    ("image_field_metrics", field.image_field_metrics, (IMG,), (0,)),
 ]
 
 

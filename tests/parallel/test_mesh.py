@@ -7,7 +7,7 @@ import jax
 
 from pylinac_tpu.parallel import (
     QABatchRunner,
-    sharded_batch_metrics,
+    sharded_field_analysis,
     sharded_ct_localization,
 )
 from pylinac_tpu.parallel.mesh import make_mesh
@@ -38,17 +38,18 @@ def test_sharded_ct_localization_recovers_tilted_axis(mesh):
     assert fits[1, 1] == pytest.approx(60.0, abs=1.5)    # x intercept
 
 
-def test_batch_runner_heterogeneous_padding(mesh):
+def test_batch_runner_batch_padding(mesh):
     imgs = np.random.default_rng(1).random((5, 100, 130)).astype(np.float32) * 50
-    imgs[:, 30:70, 40:90] += 1000  # field
+    imgs[:, 30:70, 40:90] += 1000  # 50-px-wide field
     runner = QABatchRunner(mesh)
-    metrics, mean_width = runner.run(imgs)
-    # 5 images padded to 8 (devices) and 128x256 (bucket); results unpadded
-    widths = np.asarray(metrics["vertical"].field_width_px)
-    assert widths.shape[0] == 5
+    metrics, mean_size = runner.run(imgs)
+    # 5 images padded to 8 (devices) on the batch axis; results unpadded
+    sizes = np.asarray(metrics["vert"]["field_size_mm"])
+    assert sizes.shape[0] == 5
     # the global psum mean must exclude the 3 zero-padded images
-    assert mean_width == pytest.approx(float(widths.mean()), rel=1e-5)
-    assert mean_width == pytest.approx(40.0, abs=2)
+    assert mean_size == pytest.approx(float(sizes.mean()), rel=1e-5)
+    # dpmm defaults to 1 -> mm == px; vert size is along H (40-px field)
+    assert mean_size == pytest.approx(40.0, abs=2)
 
 
 def _make_pf_batch(n):
@@ -169,14 +170,14 @@ def test_2x4_mesh_data_axis():
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
-    from pylinac_tpu.parallel import sharded_batch_metrics
+    from pylinac_tpu.parallel import sharded_field_analysis
 
     devices = np.array(jax.devices()[:8]).reshape(2, 4)
     mesh2d = Mesh(devices, ("data", "model"))
     imgs = np.random.default_rng(2).random((4, 64, 128)).astype(np.float32) * 10
     imgs[:, 16:48, 32:96] += 1000
-    metrics, mean_width = sharded_batch_metrics(jnp.asarray(imgs), mesh2d)
-    widths = np.asarray(metrics["vertical"].field_width_px)
+    metrics, mean_width = sharded_field_analysis(jnp.asarray(imgs), mesh2d)
+    widths = np.asarray(metrics["vert"]["field_size_mm"])
     assert widths.shape[0] == 4
     assert float(np.asarray(mean_width)[0]) == pytest.approx(
         float(widths.mean()), rel=1e-5)
