@@ -459,3 +459,35 @@ def jpeg_lossless_decode_fast(data: bytes) -> np.ndarray:
     if fn is None:
         return jpeg_lossless_decode(data)
     return fn(data)
+
+
+# ===========================================================================
+# JPEG-LS Lossless (1.2.840.10008.1.2.4.80, ITU-T T.87) — see core/jpegls.py
+# ===========================================================================
+JPEG_LS_LOSSLESS_TS = "1.2.840.10008.1.2.4.80"
+
+
+def jpegls_decode_fast(data: bytes) -> np.ndarray:
+    """Decode via the C++ JPEG-LS decoder when built; Python fallback."""
+    from ..native import jpegls_native
+
+    fns = jpegls_native()
+    if fns is None:
+        from .jpegls import jpegls_decode
+
+        return jpegls_decode(data)
+    return fns[0](data)
+
+
+def jpegls_encode_fast(frame: np.ndarray, prec: int | None = None) -> bytes:
+    """Encode via the C++ JPEG-LS encoder when built; Python fallback."""
+    from ..native import jpegls_native
+    from .jpegls import default_precision
+
+    prec = prec or default_precision(frame)
+    fns = jpegls_native()
+    if fns is None:
+        from .jpegls import jpegls_encode
+
+        return jpegls_encode(frame, prec)
+    return fns[1](frame, prec)

@@ -34,8 +34,10 @@ EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
 # compressed syntaxes parse as explicit VR LE with encapsulated PixelData
-_COMPRESSED_TS = {RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14}
+_COMPRESSED_TS = {RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14,
+                  JPEG_LS_LOSSLESS}
 _SUPPORTED_TS = {IMPLICIT_VR_LE, EXPLICIT_VR_LE, EXPLICIT_VR_BE} | _COMPRESSED_TS
 
 # UID root used for generated UIDs (the generic "2.25 + uuid" DICOM form).
@@ -408,7 +410,8 @@ class Dataset:
         if ts == cpx.RLE_TS:
             frames = [cpx.rle_decode_frame(f, rows, cols, bits, samples)
                       for f in frags[:nframes]]
-        elif ts in (cpx.JPEG_LOSSLESS_SV1_TS, cpx.JPEG_LOSSLESS_TS):
+        elif ts in (cpx.JPEG_LOSSLESS_SV1_TS, cpx.JPEG_LOSSLESS_TS,
+                    cpx.JPEG_LS_LOSSLESS_TS):
             # a frame may span multiple fragments; JPEG frames start with SOI
             joined: list[bytes] = []
             for f in frags:
@@ -416,8 +419,9 @@ class Dataset:
                     joined.append(f)
                 else:
                     joined[-1] += f
-            frames = [cpx.jpeg_lossless_decode_fast(f)
-                      for f in joined[:nframes]]
+            decode = (cpx.jpegls_decode_fast if ts == cpx.JPEG_LS_LOSSLESS_TS
+                      else cpx.jpeg_lossless_decode_fast)
+            frames = [decode(f) for f in joined[:nframes]]
         else:
             raise InvalidDicomError(
                 f"Unsupported compressed transfer syntax: {ts}")
@@ -763,6 +767,10 @@ def _encapsulate_pixels(ds: Dataset, transfer_syntax: str) -> bytes:
     frames = arr if arr.ndim == 3 else arr[None]
     if transfer_syntax == RLE_LOSSLESS:
         encoded = [cpx.rle_encode_frame(f) for f in frames]
+    elif transfer_syntax == JPEG_LS_LOSSLESS:
+        bits = int(ds.get("BitsStored", 0) or 0)
+        encoded = [cpx.jpegls_encode_fast(f, prec=bits or None)
+                   for f in frames]
     else:
         encoded = [cpx.jpeg_lossless_encode(f) for f in frames]
     out = io.BytesIO()

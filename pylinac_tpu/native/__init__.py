@@ -56,6 +56,63 @@ def xim_decode_native():
     return load_library("xim_decode")
 
 
+def jpegls_native():
+    """ctypes wrappers for the JPEG-LS codec, or None.
+
+    Returns (decode, encode): ``decode(bytes) -> np.ndarray`` (uint8/uint16
+    by codestream precision) and ``encode(np.ndarray, prec) -> bytes``."""
+    lib = load_library("jpegls")
+    if lib is None:
+        return None
+    import numpy as np
+
+    dec = lib.jls_decode
+    dec.restype = ctypes.c_int
+    dec.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
+    enc = lib.jls_encode
+    enc.restype = ctypes.c_int
+    enc.argtypes = [ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64)]
+
+    def decode(data: bytes):
+        cap = 8192 * 8192
+        idx = data.find(b"\xff\xf7")              # SOF55: exact sizing
+        if 0 <= idx and idx + 9 < len(data):
+            rows_s = int.from_bytes(data[idx + 5:idx + 7], "big")
+            cols_s = int.from_bytes(data[idx + 7:idx + 9], "big")
+            if rows_s and cols_s:
+                cap = rows_s * cols_s
+        out = np.empty(cap, np.uint16)
+        rows, cols, prec = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        rc = dec(data, len(data),
+                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), cap,
+                 ctypes.byref(rows), ctypes.byref(cols), ctypes.byref(prec))
+        if rc != 0:
+            raise ValueError(f"native JPEG-LS decode failed (code {rc})")
+        arr = out[:rows.value * cols.value].reshape(rows.value, cols.value).copy()
+        return arr.astype(np.uint8) if prec.value <= 8 else arr
+
+    def encode(frame, prec: int) -> bytes:
+        img = np.ascontiguousarray(frame, np.uint16)
+        h, w = img.shape
+        cap = h * w * 2 + 1024
+        out = np.empty(cap, np.uint8)
+        out_len = ctypes.c_int64()
+        rc = enc(img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h, w,
+                 prec, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                 cap, ctypes.byref(out_len))
+        if rc != 0:
+            raise ValueError(f"native JPEG-LS encode failed (code {rc})")
+        return out[:out_len.value].tobytes()
+
+    return decode, encode
+
+
 def jpeg_lossless_native():
     """ctypes wrapper for the JPEG Lossless decoder, or None.
 
