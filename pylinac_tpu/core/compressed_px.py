@@ -491,3 +491,44 @@ def jpegls_encode_fast(frame: np.ndarray, prec: int | None = None) -> bytes:
 
         return jpegls_encode(frame, prec)
     return fns[1](frame, prec)
+
+
+# ===========================================================================
+# JPEG 2000 (1.2.840.10008.1.2.4.90/.91, ITU-T T.800) — native/jpeg2000.cpp
+# ===========================================================================
+J2K_LOSSLESS_TS = "1.2.840.10008.1.2.4.90"
+J2K_TS = "1.2.840.10008.1.2.4.91"
+
+
+def j2k_decode(data: bytes) -> np.ndarray:
+    """Decode a JPEG 2000 codestream (raw or JP2-wrapped) via the C++
+    codec. Lossless (5/3 reversible) only; no pure-Python fallback — the
+    EBCOT bit-plane coder is far too slow in Python for clinical frames."""
+    from ..native import j2k_native
+
+    fns = j2k_native()
+    if fns is None:
+        raise ValueError(
+            "JPEG 2000 decoding requires the native codec (g++ toolchain); "
+            "set PYLINAC_TPU_NO_NATIVE=0 or install a compiler")
+    arr, prec, sgnd = fns[0](data)
+    if sgnd:
+        return arr.astype(np.int16 if prec <= 16 else np.int32)
+    if prec <= 8:
+        return arr.astype(np.uint8)
+    return arr.astype(np.uint16)
+
+
+def j2k_encode(frame: np.ndarray, prec: int | None = None) -> bytes:
+    """Encode a 2-D frame as a lossless (5/3) JPEG 2000 codestream."""
+    from ..native import j2k_native
+
+    fns = j2k_native()
+    if fns is None:
+        raise ValueError(
+            "JPEG 2000 encoding requires the native codec (g++ toolchain)")
+    sgnd = frame.dtype.kind == "i"
+    if prec is None:
+        mx = int(np.abs(frame).max()) if frame.size else 1
+        prec = max(2, mx.bit_length() + (1 if sgnd else 0))
+    return fns[1](frame, prec, sgnd)

@@ -35,9 +35,11 @@ RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
+J2K = "1.2.840.10008.1.2.4.91"
 # compressed syntaxes parse as explicit VR LE with encapsulated PixelData
 _COMPRESSED_TS = {RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14,
-                  JPEG_LS_LOSSLESS}
+                  JPEG_LS_LOSSLESS, J2K_LOSSLESS, J2K}
 _SUPPORTED_TS = {IMPLICIT_VR_LE, EXPLICIT_VR_LE, EXPLICIT_VR_BE} | _COMPRESSED_TS
 
 # UID root used for generated UIDs (the generic "2.25 + uuid" DICOM form).
@@ -422,6 +424,14 @@ class Dataset:
             decode = (cpx.jpegls_decode_fast if ts == cpx.JPEG_LS_LOSSLESS_TS
                       else cpx.jpeg_lossless_decode_fast)
             frames = [decode(f) for f in joined[:nframes]]
+        elif ts in (cpx.J2K_LOSSLESS_TS, cpx.J2K_TS):
+            joined = []
+            for f in frags:
+                if f[:4] in (b"\xff\x4f\xff\x51", b"\x00\x00\x00\x0c") or not joined:
+                    joined.append(f)
+                else:
+                    joined[-1] += f
+            frames = [cpx.j2k_decode(f) for f in joined[:nframes]]
         else:
             raise InvalidDicomError(
                 f"Unsupported compressed transfer syntax: {ts}")
@@ -771,6 +781,9 @@ def _encapsulate_pixels(ds: Dataset, transfer_syntax: str) -> bytes:
         bits = int(ds.get("BitsStored", 0) or 0)
         encoded = [cpx.jpegls_encode_fast(f, prec=bits or None)
                    for f in frames]
+    elif transfer_syntax in (J2K_LOSSLESS, J2K):
+        bits = int(ds.get("BitsStored", 0) or 0)
+        encoded = [cpx.j2k_encode(f, prec=bits or None) for f in frames]
     else:
         encoded = [cpx.jpeg_lossless_encode(f) for f in frames]
     out = io.BytesIO()

@@ -113,6 +113,65 @@ def jpegls_native():
     return decode, encode
 
 
+def j2k_native():
+    """ctypes wrappers for the JPEG 2000 codec, or None.
+
+    Returns (decode, encode): ``decode(bytes) -> (np.ndarray int32, prec,
+    sgnd)`` and ``encode(np.ndarray, prec, sgnd) -> bytes`` (lossless 5/3)."""
+    lib = load_library("jpeg2000")
+    if lib is None:
+        return None
+    import numpy as np
+
+    dec = lib.j2k_decode
+    dec.restype = ctypes.c_int
+    dec.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    enc = lib.j2k_encode
+    enc.restype = ctypes.c_int
+    enc.argtypes = [ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64)]
+
+    _ERR = {1: "malformed codestream", 2: "unsupported codestream feature",
+            3: "corrupt entropy data", 4: "output capacity", 5:
+            "irreversible (9/7) wavelets are not supported — lossless only"}
+
+    def decode(data: bytes):
+        cap = 4096 * 4096
+        out = np.empty(cap, np.int32)
+        rows, cols = ctypes.c_int(), ctypes.c_int()
+        prec, sgnd = ctypes.c_int(), ctypes.c_int()
+        rc = dec(data, len(data),
+                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+                 ctypes.byref(rows), ctypes.byref(cols), ctypes.byref(prec),
+                 ctypes.byref(sgnd))
+        if rc != 0:
+            raise ValueError(
+                f"JPEG 2000 decode failed: {_ERR.get(rc, rc)}")
+        arr = out[:rows.value * cols.value].reshape(rows.value, cols.value)
+        return arr.copy(), prec.value, bool(sgnd.value)
+
+    def encode(frame, prec: int, sgnd: bool) -> bytes:
+        img = np.ascontiguousarray(frame, np.int32)
+        h, w = img.shape
+        cap = h * w * 4 + 65536
+        out = np.empty(cap, np.uint8)
+        out_len = ctypes.c_int64()
+        rc = enc(img.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+                 prec, int(sgnd),
+                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+                 ctypes.byref(out_len))
+        if rc != 0:
+            raise ValueError(f"JPEG 2000 encode failed: {_ERR.get(rc, rc)}")
+        return out[:out_len.value].tobytes()
+
+    return decode, encode
+
+
 def jpeg_lossless_native():
     """ctypes wrapper for the JPEG Lossless decoder, or None.
 
