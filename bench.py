@@ -438,6 +438,13 @@ class WinstonLutzConfig:
         self.dpmm = float(self.wl.images[0].dpmm)
 
     def run_tpu(self):
+        # fresh detection pass per run (the timed quantity is the batched
+        # field+BB kernels; staged device frames persist like the baseline's
+        # pre-loaded arrays — same convention as the CatPhan config)
+        self.wl._bb_scan_cache = None
+        for img in self.wl.images:
+            img._precomputed_bb_points = None
+            img._precomputed_field_centroid = None
         self.wl.analyze()
         self._last = self.wl.results_data()
         return self._last

@@ -527,11 +527,15 @@ def label_batch(masks: jnp.ndarray, connectivity: int = 1,
     (:func:`pylinac_tpu.ops.pallas_label.label_batched_pallas`); vmapping the
     single-image kernel instead serializes one grid step per instance
     (~15 ms each — minutes for a 400-window threshold scan)."""
+    import os
+
     from .pallas_label import (_label_kernel_call, label_batched_pallas,
                                label_batched_supported, label_pallas_supported)
 
     xla = jax.vmap(lambda m: _label_xla(m.astype(bool), connectivity, max_iter))
     shape = masks.shape[1:]
+    if os.environ.get("PYLINAC_TPU_CCL") == "xla":
+        return xla(masks)  # perf A/B knob: force the fused XLA fixpoint
     if label_batched_supported(shape):
         return jax.lax.platform_dependent(
             masks,
@@ -551,10 +555,14 @@ def label_batch(masks: jnp.ndarray, connectivity: int = 1,
 
 def _holes_batch(masks: jnp.ndarray, max_iter: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched hole info (is_hole, bg_lab) over (B, h, w) masks."""
+    import os
+
     from .pallas_label import (hole_roots, hole_roots_batched,
                                label_batched_supported, label_pallas_supported)
 
     xla = jax.vmap(lambda m: _holes_xla(m.astype(bool), max_iter))
+    if os.environ.get("PYLINAC_TPU_CCL") == "xla":
+        return xla(masks)
 
     def pallas_form(m):
         out = hole_roots_batched(m.astype(bool))

@@ -422,8 +422,10 @@ def _batched_sweep_kernel(mask_ref, out_ref, *, mode: str, connectivity: int,
     out_ref[:] = out.reshape(out_ref.shape)
 
 
-def _batched_call(masks: jnp.ndarray, mode: str, connectivity: int) -> jnp.ndarray:
-    """Pad, block and launch the batched sweep kernel. Traceable."""
+def _batched_call(masks: jnp.ndarray, mode: str, connectivity: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Pad, block and launch the batched sweep kernel. Traceable.
+    ``interpret`` runs the kernel in pallas interpret mode (CPU tests)."""
     b, h, w = masks.shape
     hp, wp = _batch_pad_dims(h, w)
     bc = _batch_block(b, hp, wp)
@@ -441,20 +443,22 @@ def _batched_call(masks: jnp.ndarray, mode: str, connectivity: int) -> jnp.ndarr
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((bc, hp, wp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(m)
     return out[:b, :h, :w]
 
 
-def label_batched_pallas(masks: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
+def label_batched_pallas(masks: jnp.ndarray, connectivity: int = 1,
+                         interpret: bool = False) -> jnp.ndarray:
     """Traceable batched CCL: (B, h, w) masks → (B, h, w) int32 labels
     (bg = -1, components carry their min TRUE linear index)."""
-    return _batched_call(masks, "label", connectivity)
+    return _batched_call(masks, "label", connectivity, interpret)
 
 
-def hole_roots_batched(masks: jnp.ndarray) -> jnp.ndarray:
+def hole_roots_batched(masks: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Traceable batched hole roots: per pixel -1 border-reachable bg,
     hole-root linear index for hole pixels, -2 fg."""
-    return _batched_call(masks, "holes", 1)
+    return _batched_call(masks, "holes", 1, interpret)
 
 
 def label_batched_supported(shape: tuple[int, int]) -> bool:
@@ -605,7 +609,8 @@ def _pack_cols(masks: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
     return packed, wwp, hp
 
 
-def filled_centroid_packed(masks: jnp.ndarray) -> jnp.ndarray:
+def filled_centroid_packed(masks: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
     """Traceable: (B, H, W) bool masks → (B, 2) f32 (cy, cx) centroids of
     the hole-filled masks, flooding the whole batch bit-packed in VMEM."""
     b, h, w = masks.shape
@@ -624,6 +629,7 @@ def filled_centroid_packed(masks: jnp.ndarray) -> jnp.ndarray:
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((bc, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(packed)[:b]
     mass = jnp.maximum(out[:, 0], 1.0)
     return jnp.stack([out[:, 1] / mass, out[:, 2] / mass], axis=-1)

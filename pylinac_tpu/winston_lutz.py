@@ -945,6 +945,14 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
         dpmms = {round(float(img.dpmm), 6) for img in self.images}
         if len(dpmms) != 1:
             return
+        cache_key = (round(float(bb_size_mm), 6), bool(low_density))
+        cached = getattr(self, "_bb_scan_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            # detections are shift-independent (virtual shifts move copies),
+            # so repeat analyzes reuse the batched scan outright
+            for img, pts in zip(self.images, cached[1]):
+                img._precomputed_bb_points = pts
+            return
         self._ensure_preprocessed()
         dpmm = float(self.images[0].dpmm)
         windows, offsets = [], []
@@ -963,9 +971,12 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
         tol_mm = self.images[0]._calculate_bb_tolerance(bb_size_mm)
         found = batched_bb_windows(windows, dpmm, bb_size_mm / 2, tol_mm,
                                    invert=not low_density)
+        all_pts = []
         for img, pts, (top, left) in zip(self.images, found, offsets):
             img._precomputed_bb_points = [Point(x=c + left, y=r + top)
                                           for r, c in pts]
+            all_pts.append(img._precomputed_bb_points)
+        self._bb_scan_cache = (cache_key, all_pts)
 
     @lru_cache()
     def _minimize_axis(self, axes=(Axis.GANTRY,)):

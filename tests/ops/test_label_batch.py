@@ -57,3 +57,77 @@ def test_label_batch_narrow_window():
     for i in range(masks.shape[0]):
         single = np.asarray(jlabel.label(jnp.asarray(masks[i]), 1))
         np.testing.assert_array_equal(batched[i], single)
+
+
+# ---------------------------------------------------------------------------
+# interpret-mode checks of the BATCHED pallas kernels (the platform_dependent
+# TPU branch never runs on the CPU test backend; interpret mode executes the
+# same kernel logic so a TPU-only semantics bug shows up here)
+# ---------------------------------------------------------------------------
+def _rand_masks(b, h, w, seed=0, p=0.45):
+    rng = np.random.default_rng(seed)
+    m = rng.random((b, h, w)) < p
+    m[0] = False                      # empty instance
+    m[-1] = True                      # full instance
+    return m
+
+
+def test_batched_pallas_label_interpret_matches_xla():
+    from pylinac_tpu.ops import pallas_label as plab
+
+    masks = _rand_masks(4, 24, 150, seed=3)
+    got = np.asarray(plab.label_batched_pallas(
+        jnp.asarray(masks), connectivity=1, interpret=True))
+    for i in range(masks.shape[0]):
+        ref = np.asarray(jlabel.label(jnp.asarray(masks[i]), connectivity=1))
+        assert np.array_equal(got[i], ref), f"instance {i}"
+
+
+def test_batched_pallas_holes_interpret_matches_xla():
+    from pylinac_tpu.ops import pallas_label as plab
+    from pylinac_tpu.ops.label import fill_holes
+
+    masks = _rand_masks(3, 20, 140, seed=4, p=0.55)
+    out = np.asarray(plab.hole_roots_batched(jnp.asarray(masks), interpret=True))
+    for i in range(masks.shape[0]):
+        filled = np.asarray(fill_holes(jnp.asarray(masks[i])))
+        holes_ref = filled & ~masks[i]
+        assert np.array_equal(out[i] >= 0, holes_ref), f"instance {i}"
+
+
+def test_filled_centroid_packed_interpret_matches_xla():
+    """The bit-packed Kogge-Stone flood (WL field centroids) must match the
+    XLA fill+center-of-mass on fields with holes, border contact, and sizes
+    that exercise multi-word columns and word-boundary crossings."""
+    from pylinac_tpu.ops import pallas_label as plab
+    from pylinac_tpu.ops.label import fill_holes
+
+    rng = np.random.default_rng(5)
+    cases = []
+    # field with a BB-like hole, offset from center, crossing word boundary
+    m = np.zeros((60, 200), bool)
+    m[10:50, 30:170] = True
+    m[28:33, 60:66] = False           # hole crossing the col-63/64 word edge
+    cases.append(m)
+    # border-touching field (flood must not leak through it)
+    m = np.zeros((40, 96), bool)
+    m[0:35, 0:96] = True
+    m[5:8, 40:44] = False
+    cases.append(m)
+    # sparse noise + blob
+    m = rng.random((50, 130)) < 0.3
+    m[20:40, 50:100] = True
+    m[25:30, 70:75] = False
+    cases.append(m)
+    masks = np.zeros((3, 60, 200), bool)
+    for i, c in enumerate(cases):
+        masks[i, :c.shape[0], :c.shape[1]] = c
+    got = np.asarray(plab.filled_centroid_packed(jnp.asarray(masks),
+                                                 interpret=True))
+    for i in range(3):
+        filled = np.asarray(fill_holes(jnp.asarray(masks[i])))
+        yy, xx = np.mgrid[:60, :200]
+        mass = max(filled.sum(), 1)
+        ref = (float((filled * yy).sum() / mass), float((filled * xx).sum() / mass))
+        assert got[i][0] == pytest.approx(ref[0], abs=1e-3), f"cy inst {i}"
+        assert got[i][1] == pytest.approx(ref[1], abs=1e-3), f"cx inst {i}"
