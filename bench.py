@@ -751,6 +751,11 @@ NORTH_STAR = ("PicketFence", "CatPhan504")
 
 
 def main() -> None:
+    import warnings
+
+    # physics warnings (MTF extrapolation etc.) are parity behavior the
+    # reference also emits; dedupe so the bench tail stays readable
+    warnings.simplefilter("once")
     # warm the heap: on micro-VM hosts first-touch page faults run at
     # ~100 MB/s; prefaulting (untimed) keeps the timed runs at memory speed
     from pylinac_tpu import _hostmem

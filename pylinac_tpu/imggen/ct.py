@@ -137,24 +137,35 @@ def generate_catphan504(
             r_gauge = 47.0
             boundaries = (0, 0.107, 0.173, 0.236, 0.286, 0.335, 0.387, 0.434, 0.479)
             npeaks = (2, 3, 4, 4, 4, 5, 5, 5)
-            rr = np.sqrt((yy - center) ** 2 + (xx - center) ** 2) * mm_per_pixel
-            band = (rr > r_gauge - 3) & (rr < r_gauge + 3)
-            # fraction along the profile: angle = start(π) - 2π f (ccw sampling)
-            theta = np.arctan2(yy - center, xx - center) - roll
-            f = ((np.pi - theta) % (2 * np.pi)) / (2 * np.pi)
-            for region in range(8):
-                f0, f1 = boundaries[region], boundaries[region + 1]
-                n = npeaks[region]
-                span = f1 - f0
-                in_region = band & (f >= f0) & (f < f1)
-                # n bars: square wave with n periods over 2/3 of the span
-                local = (f - f0) / span
-                bar_phase = (local * n * 1.5) % 1.5
-                bars = in_region & (bar_phase < 0.75) & (local < (n * 1.5 - 0.75) / (n * 1.5) + 1e-9)
-                hu[bars] = 800
+            # anti-aliased bar coverage via 2x2 subpixel supersampling —
+            # hard boolean bars rasterize to ±1 px width jitter between
+            # regions, which wobbles the measured peak/valley means enough
+            # to make the MTF non-monotonic on an otherwise clean phantom
+            cov = np.zeros_like(hu)
+            band_any = np.zeros(hu.shape, bool)
+            for oy in (-0.25, 0.25):
+                for ox in (-0.25, 0.25):
+                    ys, xs = yy + oy, xx + ox
+                    rr = np.hypot(ys - center, xs - center) * mm_per_pixel
+                    band = (rr > r_gauge - 3) & (rr < r_gauge + 3)
+                    band_any |= band
+                    theta = np.arctan2(ys - center, xs - center) - roll
+                    f = ((np.pi - theta) % (2 * np.pi)) / (2 * np.pi)
+                    for region in range(8):
+                        f0, f1 = boundaries[region], boundaries[region + 1]
+                        n = npeaks[region]
+                        span = f1 - f0
+                        in_region = band & (f >= f0) & (f < f1)
+                        local = (f - f0) / span
+                        bar_phase = (local * n * 1.5) % 1.5
+                        bars = in_region & (bar_phase < 0.75) & (
+                            local < (n * 1.5 - 0.75) / (n * 1.5) + 1e-9)
+                        cov[bars] += 0.25
+            hu = np.where(band_any, hu * (1 - cov) + 800.0 * cov, hu)
             # finite scanner resolution: blur so the MTF declines with
-            # spatial frequency like a real reconstruction
-            hu = _smooth(_smooth(hu))
+            # spatial frequency like a real reconstruction (three passes put
+            # MTF50 near the reference demo's ~0.56 lp/mm)
+            hu = _smooth(_smooth(_smooth(hu)))
 
         # --- CTP515 (low contrast bubbles)
         if abs(z - CTP515_OFFSET) <= 8:
