@@ -453,6 +453,14 @@ class BaseImage:
     def __getitem__(self, item):
         return self.array[item]
 
+    def __array__(self, dtype=None, copy=None):
+        # no-copy numpy protocol: without this, np.asarray(image) falls back
+        # to element iteration and COPIES the frame (~1 ms per 512² slice —
+        # the CatPhan module stage made hundreds of such calls per scan)
+        if dtype is None or dtype == self.array.dtype:
+            return self.array if not copy else self.array.copy()
+        return self.array.astype(dtype)
+
     def __len__(self):
         return len(self.array)
 

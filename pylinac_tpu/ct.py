@@ -166,9 +166,12 @@ class ThicknessROI(RectangleROI):
 
     @cached_property
     def long_profile(self) -> FWXMProfile:
+        from .ops import route
         from .ops.filters import gaussian_filter as _gf
 
-        arr = np.asarray(_gf(jnp.asarray(self.pixel_array, jnp.float32), 1.0))
+        # small-array CPU routing: a lone wire-ramp blur is a ~30 ms tunnel
+        # round trip on a remote chip but microseconds in-process
+        arr = np.asarray(_gf(route.put(np.asarray(self.pixel_array, np.float32)), 1.0))
         return FWXMProfile(values=arr.max(axis=int(np.argmin(arr.shape))))
 
     @cached_property
@@ -888,23 +891,32 @@ class CTP486(CatPhanModule):
 
     @cached_property
     def power_spectrum_2d(self) -> np.ndarray:
+        from .ops import route
+
         rois = [r.pixel_array for r in self.nps_rois.values()]
         length = min(min(r.shape) for r in rois)
         stacked = np.stack([r[:length, :length] for r in rois])
-        return np.asarray(noise_power_spectrum_2d(jnp.asarray(stacked, jnp.float32),
-                                                  pixel_size=self.mm_per_pixel))
+        return np.asarray(noise_power_spectrum_2d(
+            route.put(stacked.astype(np.float32)),
+            pixel_size=self.mm_per_pixel))
 
     @cached_property
     def power_spectrum_1d(self) -> np.ndarray:
-        return np.asarray(noise_power_spectrum_1d(jnp.asarray(self.power_spectrum_2d)))
+        from .ops import route
+
+        return np.asarray(noise_power_spectrum_1d(route.put(self.power_spectrum_2d)))
 
     @property
     def avg_noise_power(self) -> float:
-        return float(average_power(jnp.asarray(self.power_spectrum_1d)))
+        from .ops import route
+
+        return float(average_power(route.put(self.power_spectrum_1d)))
 
     @property
     def max_noise_power_frequency(self) -> float:
-        return float(max_frequency(jnp.asarray(self.power_spectrum_1d)))
+        from .ops import route
+
+        return float(max_frequency(route.put(self.power_spectrum_1d)))
 
 
 class CTP528(CatPhanModule):

@@ -1063,11 +1063,19 @@ class PicketFenceBatch:
             spacing_est = float(np.median(np.diff(np.sort(idxs)))) if len(idxs) > 1 else W
             w_max = int(min(-(-int(spacing_est + 2) // 64) * 64, W))
         # stage the RAW batch in its native dtype (uint16 halves the H2D
-        # bytes on a tunneled device); conditioning happens in-kernel
-        stacked = np.stack(arrays)
-        if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
-            stacked = stacked.astype(np.float32)
-        batch = jnp.asarray(stacked)
+        # bytes on a tunneled device); conditioning happens in-kernel. The
+        # loaded pixels are immutable for the session's lifetime, so the
+        # device copy is cached — re-shipping ~200 MB of EPID frames
+        # dominated repeat analyzes on a tunneled chip
+        stage_key = (tuple(self._orientations), len(arrays))
+        staged = getattr(self, "_stage_cache", None)
+        if staged is None or staged[0] != stage_key:
+            stacked = np.stack(arrays)
+            if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
+                stacked = stacked.astype(np.float32)
+            staged = (stage_key, jnp.asarray(stacked))
+            self._stage_cache = staged
+        batch = staged[1]
         params = PFParams(
             height_threshold=jnp.float32(height_threshold),
             edge_threshold=jnp.float32(edge_threshold),

@@ -464,13 +464,20 @@ class StarshotBatch:
 
         self.tolerance = tolerance
         dpmm = float(self.images[0].dpmm)
-        stacked = np.stack([np.asarray(im.array) for im in self.images])
-        if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
-            stacked = stacked.astype(np.float32)
+        staged = getattr(self, "_stage_cache", None)
+        if staged is None:
+            # loaded pixels are immutable for the session's lifetime: stage
+            # them on device ONCE — re-shipping ~30 MB of film scans per
+            # analyze dominated repeat runs on a tunneled chip
+            stacked = np.stack([np.asarray(im.array) for im in self.images])
+            if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
+                stacked = stacked.astype(np.float32)
+            staged = (stacked.shape, jnp.asarray(stacked))
+            self._stage_cache = staged
+        stacked = staged[1]
         # size the angular grid from the first image's start-point estimate
         # (matches the reference's pi*2*R*3 density for the session geometry)
-        a0 = stacked[0].astype(np.float32)
-        h, w = a0.shape
+        h, w = stacked.shape[1:]
         cy, cx = h / 2, w / 2
         r_est = min(cy, cx) * radius
         n_ang = int(np.clip(int(np.pi * 2 * r_est * 3) // 256 * 256,
@@ -482,7 +489,7 @@ class StarshotBatch:
             dpmm=jnp.float32(dpmm),
             invert=np.bool_(invert))
         combos = jnp.asarray(_combo_table(radius, min_peak_height))
-        batch = jnp.asarray(stacked)
+        batch = stacked  # already device-resident
         static = dict(n_ang=n_ang, recursive=recursive, fwhm=fwhm,
                       chunk=min(chunk, len(self.images)))
         packed = starshot_batch_packed(batch, params, combos, **static)
