@@ -2025,7 +2025,11 @@ class CatPhanBatch:
         try:
             for ct in self.cts:
                 ct._defer_geometry = True
-                ct.analyze(**analyze_kwargs)
+                # the roll pre-pass already ran the origin-slice scan for
+                # this scan; pass it through so localize() doesn't redo it
+                kwargs = dict(analyze_kwargs)
+                kwargs.setdefault("origin_slice", getattr(ct, "origin_slice", None))
+                ct.analyze(**kwargs)
             self._finalize_geometry_batch()
         finally:
             for ct in self.cts:
