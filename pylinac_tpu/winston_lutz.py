@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 import math
 import os.path as osp
 import statistics
@@ -448,16 +449,28 @@ def _filled_centroid(arr: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
     return _filled_centroid_mask(arr >= threshold)
 
 
-@jax.jit
 def _filled_centroid_batch(arrs: jnp.ndarray, thrs: jnp.ndarray) -> jnp.ndarray:
     """Batched field centroids. Full-res EPID frames exceed the int32 VMEM
     budget, so on TPU the flood runs BIT-PACKED (32 columns/word): the whole
     batch floods in one VMEM-resident Kogge-Stone program
-    (:func:`pylinac_tpu.ops.pallas_label.filled_centroid_packed`)."""
+    (:func:`pylinac_tpu.ops.pallas_label.filled_centroid_packed`).
+    ``PYLINAC_TPU_FLOOD=xla`` forces the vmapped XLA form (perf A/B knob,
+    part of the jit cache key so it can flip mid-process)."""
+    import os
+
+    return _filled_centroid_batch_jit(
+        arrs, thrs, mode=os.environ.get("PYLINAC_TPU_FLOOD", ""))
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _filled_centroid_batch_jit(arrs: jnp.ndarray, thrs: jnp.ndarray,
+                               mode: str) -> jnp.ndarray:
     from .ops.pallas_label import filled_centroid_packed, flood_packed_supported
 
     masks = arrs >= thrs[:, None, None]
     xla = jax.vmap(_filled_centroid_mask)
+    if mode == "xla":
+        return xla(masks)
     if flood_packed_supported(masks.shape[1:]):
         return jax.lax.platform_dependent(
             masks, tpu=filled_centroid_packed, default=xla)
