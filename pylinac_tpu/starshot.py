@@ -464,6 +464,11 @@ class StarshotBatch:
 
         self.tolerance = tolerance
         dpmm = float(self.images[0].dpmm)
+        shapes = {tuple(im.array.shape) for im in self.images}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"All images in a batch must share one shape; got {shapes}. "
+                "Analyze heterogeneous sessions with the single-image API.")
         staged = getattr(self, "_stage_cache", None)
         if staged is None:
             # loaded pixels are immutable for the session's lifetime: stage
@@ -475,8 +480,11 @@ class StarshotBatch:
             staged = (stacked.shape, jnp.asarray(stacked))
             self._stage_cache = staged
         stacked = staged[1]
-        # size the angular grid from the first image's start-point estimate
-        # (matches the reference's pi*2*R*3 density for the session geometry)
+        # size the angular grid from the shared image geometry. The image
+        # CENTER maximizes dist-to-edge, so this is an upper bound on any
+        # image's detected radius: per-image grids are never undersampled
+        # (the kernel re-derives each image's true radius; density only
+        # controls peak-localization resolution, bounded < 0.1 px here)
         h, w = stacked.shape[1:]
         cy, cx = h / 2, w / 2
         r_est = min(cy, cx) * radius
