@@ -61,19 +61,39 @@ def gamma_2d(
     eval_p = jnp.pad(eval_n, dta, mode="edge")
     h, w = reference.shape
 
-    min_gamma2 = jnp.full((h, w), jnp.float32(gamma_cap_value) ** 2)
-    for dy, dx in _disk_offsets(dta):
-        shifted = jax.lax.dynamic_slice(eval_p, (dta + dy, dta + dx), (h, w))
-        dist2 = (dy * dy + dx * dx) / (dta * dta)
-        dd = shifted - ref_n
-        cand = dist2 + dd * dd
-        # reference uses nanmin over the disk
-        min_gamma2 = jnp.minimum(min_gamma2, jnp.where(jnp.isnan(cand), jnp.inf, cand))
+    def xla_form(args):
+        ref_l, eval_l = args
+        min_gamma2 = jnp.full((h, w), jnp.float32(gamma_cap_value) ** 2)
+        for dy, dx in _disk_offsets(dta):
+            shifted = jax.lax.dynamic_slice(eval_l, (dta + dy, dta + dx), (h, w))
+            dist2 = (dy * dy + dx * dx) / (dta * dta)
+            dd = shifted - ref_l
+            cand = dist2 + dd * dd
+            # reference uses nanmin over the disk
+            min_gamma2 = jnp.minimum(
+                min_gamma2, jnp.where(jnp.isnan(cand), jnp.inf, cand))
+        gamma = jnp.minimum(jnp.sqrt(min_gamma2), gamma_cap_value)
+        # below-threshold or NaN reference points get the fill value
+        skip = jnp.isnan(ref_l) | (ref_l < threshold_n)
+        return jnp.where(skip, fill_value, gamma)
 
-    gamma = jnp.minimum(jnp.sqrt(min_gamma2), gamma_cap_value)
-    # below-threshold or NaN reference points get the fill value
-    skip = jnp.isnan(ref_n) | (ref_n < threshold_n)
-    return jnp.where(skip, fill_value, gamma)
+    import os
+
+    from .pallas_gamma import gamma2d_pallas, gamma2d_pallas_supported
+
+    if (gamma2d_pallas_supported((h, w), dta)
+            and os.environ.get("PYLINAC_TPU_GAMMA") != "xla"):
+        # VMEM-resident offset loop: the XLA form re-reads the padded
+        # evaluation from HBM once per disk offset (~300x for DTA=9)
+        def pallas_form(args):
+            ref_l, eval_l = args
+            return gamma2d_pallas(ref_l, eval_l, dta=dta,
+                                  cap=gamma_cap_value,
+                                  threshold_n=threshold_n, fill=fill_value)
+
+        return jax.lax.platform_dependent(
+            (ref_n, eval_p), tpu=pallas_form, default=xla_form)
+    return xla_form((ref_n, eval_p))
 
 
 def _interp_extrap(x, xp, fp):

@@ -177,3 +177,50 @@ def test_michelson_contrast():
     arr = np.array([1.0, 3.0])
     assert abs(float(js.michelson(jnp.asarray(arr))) - 0.5) < 1e-6
     assert abs(float(js.weber(jnp.asarray(3.0), jnp.asarray(2.0))) - 0.5) < 1e-6
+
+
+def test_gamma2d_pallas_interpret_matches_xla():
+    """The VMEM-resident pallas gamma (TPU branch of gamma_2d) must match
+    the XLA offset loop exactly — run via interpret mode on CPU."""
+    import numpy as np
+
+    from pylinac_tpu.ops.gamma import _disk_offsets, gamma_2d
+    from pylinac_tpu.ops.pallas_gamma import gamma2d_pallas
+
+    rng = np.random.default_rng(11)
+    for dta in (3, 5):
+        ref = rng.random((40, 130)).astype(np.float32) * 100
+        ev = ref + rng.normal(0, 2, ref.shape).astype(np.float32)
+        ev[20, 40] = np.nan         # NaN candidate -> ignored in the min
+        # whole-function comparison (normalization + core) on clean ref
+        want = np.asarray(gamma_2d(jnp.asarray(ref), jnp.asarray(ev),
+                                   dose_to_agreement=3.0,
+                                   distance_to_agreement=dta,
+                                   gamma_cap_value=2.0, global_dose=True,
+                                   dose_threshold=5.0))
+        dose_ta = 3.0 / 100.0 * ref.max()
+        ref_n = ref / dose_ta
+        eval_p = np.pad(ev / dose_ta, dta, mode="edge")
+        got = np.asarray(gamma2d_pallas(jnp.asarray(ref_n), jnp.asarray(eval_p),
+                                        dta=dta, cap=2.0,
+                                        threshold_n=0.05, fill=np.nan,
+                                        interpret=True))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6, equal_nan=True)
+
+        # NaN-reference pixels take the fill value (core-vs-core check)
+        ref_nan = ref_n.copy()
+        ref_nan[5, 5] = np.nan
+        min_g2 = np.full(ref.shape, 4.0, np.float32)
+        for dy, dx in _disk_offsets(dta):
+            sh = eval_p[dta + dy: dta + dy + ref.shape[0],
+                        dta + dx: dta + dx + ref.shape[1]]
+            cand = (dy * dy + dx * dx) / (dta * dta) + (sh - ref_nan) ** 2
+            cand = np.where(np.isnan(cand), np.inf, cand)
+            min_g2 = np.minimum(min_g2, cand)
+        want2 = np.minimum(np.sqrt(min_g2), 2.0)
+        want2 = np.where(np.isnan(ref_nan) | (ref_nan < 0.05), np.nan, want2)
+        got2 = np.asarray(gamma2d_pallas(jnp.asarray(ref_nan), jnp.asarray(eval_p),
+                                         dta=dta, cap=2.0,
+                                         threshold_n=0.05, fill=np.nan,
+                                         interpret=True))
+        np.testing.assert_allclose(got2, want2, rtol=0, atol=2e-6, equal_nan=True)
