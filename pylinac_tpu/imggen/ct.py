@@ -137,6 +137,16 @@ def generate_catphan504(
             r_gauge = 47.0
             boundaries = (0, 0.107, 0.173, 0.236, 0.286, 0.335, 0.387, 0.434, 0.479)
             npeaks = (2, 3, 4, 4, 4, 5, 5, 5)
+            # nominal gap size (cm) per region — the physical bar width of
+            # the real gauge (region N is N lp/cm, so gap = 5/N mm).  Bars
+            # are drawn at this TRUE width, centered in the analyzer's
+            # angular sector (analyzer table: ct.py CTP528CP504.roi_settings,
+            # reference ct.py:1398).  Stretching `npeaks` bars across the
+            # whole sector instead rasterizes region 8 at ~3.8 lp/cm — the
+            # measured MTF floor then never reaches 10-30% and every
+            # results_data() call warns about extrapolation.
+            gaps_cm = (0.5, 0.25, 0.167, 0.125, 0.1, 0.083, 0.071, 0.063)
+            circ = 2 * np.pi * r_gauge  # mm of arc along the gauge ring
             # anti-aliased bar coverage via 2x2 subpixel supersampling —
             # hard boolean bars rasterize to ±1 px width jitter between
             # regions, which wobbles the measured peak/valley means enough
@@ -154,18 +164,25 @@ def generate_catphan504(
                     for region in range(8):
                         f0, f1 = boundaries[region], boundaries[region + 1]
                         n = npeaks[region]
-                        span = f1 - f0
+                        sector_mm = (f1 - f0) * circ
+                        bar_mm = gaps_cm[region] * 10.0
+                        period_mm = 2.0 * bar_mm
+                        train_mm = (n - 1) * period_mm + bar_mm
+                        off_mm = (sector_mm - train_mm) / 2.0
                         in_region = band & (f >= f0) & (f < f1)
-                        local = (f - f0) / span
-                        bar_phase = (local * n * 1.5) % 1.5
-                        bars = in_region & (bar_phase < 0.75) & (
-                            local < (n * 1.5 - 0.75) / (n * 1.5) + 1e-9)
+                        s = (f - f0) * circ  # arc-length into the sector
+                        phase = s - off_mm
+                        bars = in_region & (phase >= 0) & (phase < train_mm) & (
+                            phase % period_mm < bar_mm)
                         cov[bars] += 0.25
             hu = np.where(band_any, hu * (1 - cov) + 800.0 * cov, hu)
-            # finite scanner resolution: blur so the MTF declines with
-            # spatial frequency like a real reconstruction (three passes put
-            # MTF50 near the reference demo's ~0.56 lp/mm)
-            hu = _smooth(_smooth(_smooth(hu)))
+            # finite scanner resolution: one binomial pass on top of the
+            # supersampled rasterization gives MTF50 ≈ 0.49 lp/mm (reference
+            # demo: ~0.56) with the 10% point ≈ 0.77 lp/mm — inside the
+            # 0.1-0.8 lp/mm gauge range, so relative_resolution(10..90)
+            # interpolates instead of warning about extrapolation, while
+            # region 8 keeps ~7% true modulation for the peak finder.
+            hu = _smooth(hu)
 
         # --- CTP515 (low contrast bubbles)
         if abs(z - CTP515_OFFSET) <= 8:
@@ -499,8 +516,14 @@ def generate_helios(
         return (center + np.cos(a) * dist_mm / mm_per_pixel,
                 center + np.sin(a) * dist_mm / mm_per_pixel)
 
-    bar_settings = [(-53, 42, 8, 1.6, 400), (-62, 21, 7, 1.3, 300),
-                    (-120, 5, 6, 1.0, 200), (146, 16, 5, 0.8, 100)]
+    # physical bar blocks: one material (+400 HU) against water, bar width =
+    # the nominal size; the measured michelson MTF then declines with spatial
+    # frequency through the reconstruction blur below, exactly like the real
+    # phantom (bipolar ±amp bars would put max+min ≈ 0 and make the
+    # michelson denominator noise — the MTF ordering was random).
+    bar_settings = [(-53, 42, 8, 1.6), (-62, 21, 7, 1.3),
+                    (-120, 5, 6, 1.0), (146, 16, 5, 0.8)]
+    bar_hu = 400.0
     for i, z in enumerate(z_positions):
         hu = np.full((image_size, image_size), -1000.0)
         hu[in_phantom] = 0.0  # water
@@ -510,15 +533,28 @@ def generate_helios(
             px, py = polar_to_px(-135, 35)
             half = 8 / mm_per_pixel
             hu[int(py - half):int(py + half), int(px - half):int(px + half)] = 120
-            # bar patterns with declining amplitude
-            for angle, dist, size, bar, amp in bar_settings:
+            # anti-aliased bar coverage (2x subpixel supersampling along the
+            # stripe axis; periods are 2.7-5.3 px at 0.6 mm/px)
+            for angle, dist, size, bar in bar_settings:
                 px, py = polar_to_px(angle, dist)
-                half = size / 2 / mm_per_pixel
+                # block 1.5x the sampling ROI so the ROI reads pure bar
+                # pattern — if the block boundary (bar-to-water ramp) falls
+                # inside the ROI, roi.min pins near 0 and the michelson MTF
+                # floor never decays no matter the blur
+                half = size * 1.5 / 2 / mm_per_pixel
                 region = (slice(int(py - half), int(py + half)),
                           slice(int(px - half), int(px + half)))
                 period_px = 2 * bar / mm_per_pixel
-                stripes = amp * np.sign(np.sin(2 * np.pi * xx / period_px))
-                hu[region] = stripes[region]
+                cov = np.zeros_like(xx, dtype=float)
+                for ox in (-0.25, 0.25):
+                    cov += 0.5 * (np.sin(2 * np.pi * (xx + ox) / period_px) > 0)
+                hu[region] = bar_hu * cov[region]
+            # finite scanner resolution: two binomial passes attenuate the
+            # 0.8 mm bars (f=0.375 cyc/px) ~20x more than the 1.6 mm bars —
+            # a declining, monotonic MTF whose 10% point falls inside the
+            # 0.31-0.63 lp/mm bar range, so relative_resolution(10..90)
+            # interpolates instead of warning about extrapolation
+            hu = _smooth(_smooth(hu))
         noise = rng.standard_normal((image_size, image_size))
         noise = _smooth(_smooth(_smooth(noise)))
         noise *= noise_hu / max(noise.std(), 1e-9)

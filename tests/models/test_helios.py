@@ -46,19 +46,30 @@ class TestHelios:
         assert helios.catphan_roll == 0.0
 
     def test_results_data(self, helios):
-        data = helios.results_data()
+        # a 4-bar daily-QA gauge rarely resolves down to 10% rMTF, so the
+        # 10% entry is a (reference-authentic) extrapolation — assert that
+        # is the ONLY warning class emitted
+        with warnings.catch_warnings(record=True) as wlist:
+            warnings.simplefilter("always")
+            data = helios.results_data()
+        assert all("extrapolation" in str(w.message) for w in wlist)
         assert data.phantom_model == "GE Helios CT Daily"
         assert data.contrast_scale.hu_difference == pytest.approx(120, abs=12)
         assert len(data.high_contrast.mtf_lp_mm) == 9
         assert data.noise_uniformity.center_mean_hu == pytest.approx(0, abs=10)
 
     def test_results_str(self, helios):
-        s = helios.results()
+        with warnings.catch_warnings(record=True) as wlist:
+            warnings.simplefilter("always")
+            s = helios.results()
+        assert all("extrapolation" in str(w.message) for w in wlist)
         assert "GE Helios" in s and "Contrast Difference" in s
 
     def test_pdf(self, helios, tmp_path):
         f = tmp_path / "helios.pdf"
-        helios.publish_pdf(str(f))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            helios.publish_pdf(str(f))
         assert f.read_bytes().startswith(b"%PDF")
 
     def test_no_demo(self):
