@@ -595,9 +595,11 @@ class MRUniformityModule(CatPhanModule):
 
     @property
     def piu_passed(self) -> bool:
+        # plain bool: np.percentile yields np.float64, so bare comparison
+        # returns np.bool_ which pydantic coerces with a deprecation warning
         if self.tesla < 3:
-            return self.percent_image_uniformity > 85
-        return self.percent_image_uniformity > 80
+            return bool(self.percent_image_uniformity > 85)
+        return bool(self.percent_image_uniformity > 80)
 
     @property
     def ghosting_ratio(self) -> float:
@@ -614,7 +616,7 @@ class MRUniformityModule(CatPhanModule):
 
     @property
     def psg_passed(self) -> bool:
-        return self.psg < 3.0
+        return bool(self.psg < 3.0)
 
 
 class MRUniformityModuleOutput(BaseModel):

@@ -103,15 +103,23 @@ def generate_acr_mri(
                 cy = center + mm(dist)
                 arr[int(cy - mm(1)):int(cy + mm(1)),
                     int(center - mm(25)):int(center + mm(25))] = 1500
-            # resolution grids: checkered disks with declining amplitude
+            # resolution grids: checkered disks with declining amplitude.
+            # The 0.9-1.1 mm hole grids are at/beyond Nyquist for 0.5 mm
+            # pixels, so true-frequency rasterization is impossible —
+            # instead the modulation amplitude emulates the scanner's MTF.
+            # The michelson rMTF measured by MRSlice1Module is amp/BODY
+            # relative to the reference disk, so these amplitudes place the
+            # curve at (1.0, 0.75, 0.45, 0.06): the 10% point falls inside
+            # the measured 0-1.11 lp/mm range and relative_resolution(10..90)
+            # interpolates instead of warning about extrapolation.
             res_settings = [("Row Reference", 9, 58, 135, 400),
                             ("Col Reference", 9, 58, 135, 400),
-                            ("Row 1.1", 3, 40, 116, 330),
-                            ("Col 1.1", 3, 44, 104, 330),
-                            ("Row 1.0", 3, 36, 81, 260),
-                            ("Col 1.0", 3, 44, 74, 260),
-                            ("Row 0.9", 2, 46, 52, 190),
-                            ("Col 0.9", 2, 55, 51, 190)]
+                            ("Row 1.1", 3, 40, 116, 300),
+                            ("Col 1.1", 3, 44, 104, 300),
+                            ("Row 1.0", 3, 36, 81, 180),
+                            ("Col 1.0", 3, 44, 74, 180),
+                            ("Row 0.9", 2, 46, 52, 24),
+                            ("Col 0.9", 2, 55, 51, 24)]
             for _name, radius, dist, angle, amp in res_settings:
                 aa = np.deg2rad(angle)
                 px = center + np.cos(aa) * mm(dist)
