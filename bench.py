@@ -750,6 +750,40 @@ def run_config(cfg):
 NORTH_STAR = ("PicketFence", "CatPhan504")
 
 
+def _ensure_device(probe_timeout_s: float = 360, retries: int = 5) -> None:
+    """Fail fast (with retries) instead of hanging when the device tunnel is
+    wedged.  The tunnel admits one client and can take minutes to reap a
+    dead claim; a bare ``jax.devices()`` then blocks indefinitely inside
+    backend init, which would hang the whole bench run.  Probe init in a
+    killable subprocess first; only proceed once a probe succeeds."""
+    import os
+    import subprocess
+
+    # the axon plugin ignores the JAX_PLATFORMS env var — honor an explicit
+    # cpu override through jax.config, like tests/conftest.py
+    code = ("import os, jax\n"
+            "if os.environ.get('JAX_PLATFORMS', '').strip() == 'cpu':\n"
+            "    jax.config.update('jax_platforms', 'cpu')\n"
+            "print(jax.devices()[0].platform)")
+    for attempt in range(1, retries + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=probe_timeout_s, env=os.environ.copy())
+            if out.returncode == 0:
+                _log(f"[bench] device probe ok: {out.stdout.strip()}")
+                return
+            _log(f"[bench] device probe failed (attempt {attempt}/{retries}): "
+                 f"{out.stderr.strip().splitlines()[-1] if out.stderr.strip() else out!r}")
+        except subprocess.TimeoutExpired:
+            _log(f"[bench] device probe hung >{probe_timeout_s:.0f}s "
+                 f"(attempt {attempt}/{retries}) — tunnel busy or wedged")
+        time.sleep(30)
+    raise SystemExit(
+        "bench: no usable accelerator — device backend init failed or hung "
+        f"{retries} times. Check that no other process holds the tunnel claim.")
+
+
 def main() -> None:
     import warnings
 
@@ -761,6 +795,7 @@ def main() -> None:
     from pylinac_tpu import _hostmem
 
     _hostmem.prefault(1536)
+    _ensure_device()
 
     configs = [PicketFenceConfig(), FieldAnalysisConfig(), StarshotConfig(),
                WinstonLutzConfig(), CatPhanConfig(), GammaConfig()]

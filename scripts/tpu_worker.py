@@ -31,14 +31,24 @@ print("[worker] ready", flush=True)
 
 GLOBALS = {"__name__": "__tpu_job__"}
 
+# The tunnel admits ONE client: a worker that outlives its usefulness blocks
+# every other process (including the driver's bench run) from claiming the
+# chip. Exit after this much time with no queued jobs.
+IDLE_LIMIT_S = float(os.environ.get("TPU_WORKER_IDLE_S", 900))
+last_activity = time.monotonic()
+
 while True:
     jobs = sorted(
         f for f in os.listdir(JOBS)
         if f.endswith(".py") and not os.path.exists(os.path.join(JOBS, f[:-3] + ".done"))
     )
     if not jobs:
+        if time.monotonic() - last_activity > IDLE_LIMIT_S:
+            print(f"[worker] idle {IDLE_LIMIT_S:.0f}s; releasing the device", flush=True)
+            break
         time.sleep(0.5)
         continue
+    last_activity = time.monotonic()
     name = jobs[0][:-3]
     path = os.path.join(JOBS, jobs[0])
     out_path = os.path.join(JOBS, name + ".out")
