@@ -805,6 +805,10 @@ def main() -> None:
         configs.extend(extra_configs())
     except ImportError:
         pass
+    # dev aid: `python bench.py WinstonLutz CatPhan504` times a subset
+    if len(sys.argv) > 1:
+        wanted = {a.lower() for a in sys.argv[1:]}
+        configs = [c for c in configs if c.name.lower() in wanted]
 
     details = []
     for cfg in configs:

@@ -487,6 +487,11 @@ def label_batched_supported(shape: tuple[int, int]) -> bool:
 # ---------------------------------------------------------------------------
 _SRL = jax.lax.shift_right_logical
 
+# VMEM allowance for one grid step of the packed flood (input block + the
+# ~8 live int32 temporaries per instance). v5e/v6e VMEM is 128 MB; 48 MB
+# leaves room for pallas double-buffering of the input block.
+_FLOOD_VMEM_BUDGET = 48 * 1024 * 1024
+
 # bit-index masks: mask_k selects bits whose index has bit k set, so
 # sum_b b*bit_b = sum_k 2^k * popcount(v & mask_k)
 _BIT_IX_MASKS = tuple(
@@ -504,11 +509,13 @@ def _popcount32(v: jnp.ndarray) -> jnp.ndarray:
 
 def _flood_packed_kernel(fgp_ref, out_ref, *, bc: int, ww: int, hp: int,
                          h_true: int, w_true: int):
-    n_rows = bc * ww
-    fg = fgp_ref[:].reshape(n_rows, hp)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, hp), 1)  # image row
-    wrow = jax.lax.broadcasted_iota(jnp.int32, (n_rows, hp), 0)
-    win = jnp.remainder(wrow, ww)                                # word index
+    # Everything stays rank-3 (bc, ww, hp): Mosaic's layout inference
+    # rejects the rank-changing reshapes / rank-1 reductions the obvious
+    # 2D formulation needs (`inferReshape` check failure on hardware).
+    fg = fgp_ref[:]
+    shape = (bc, ww, hp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)  # image row
+    win = jax.lax.broadcasted_iota(jnp.int32, shape, 1)   # word index
 
     # valid bits of each word: columns < w_true, rows < h_true
     rem = jnp.clip(w_true - 32 * win, 0, 32)
@@ -518,12 +525,12 @@ def _flood_packed_kernel(fgp_ref, out_ref, *, bc: int, ww: int, hp: int,
     bg = valid & ~fg
 
     def word_shift(x, m):
-        rolled = pltpu.roll(x, m % n_rows, 0)
+        rolled = pltpu.roll(x, m % ww, 1)
         mask = (win >= m) if m > 0 else (win < ww + m)
         return jnp.where(mask, rolled, 0)
 
     def lane_shift(x, d):
-        rolled = pltpu.roll(x, d % hp, 1)
+        rolled = pltpu.roll(x, d % hp, 2)
         mask = (lane >= d) if d > 0 else (lane < hp + d)
         return jnp.where(mask, rolled, 0)
 
@@ -584,12 +591,14 @@ def _flood_packed_kernel(fgp_ref, out_ref, *, bc: int, ww: int, hp: int,
     ysum = pc * lane.astype(jnp.float32)
     xsum = 32.0 * win.astype(jnp.float32) * pc + xbit
 
-    sums = jnp.stack([
-        mass.reshape(bc, ww, hp).sum(axis=(1, 2)),
-        ysum.reshape(bc, ww, hp).sum(axis=(1, 2)),
-        xsum.reshape(bc, ww, hp).sum(axis=(1, 2)),
-    ], axis=-1)                                    # (bc, 3)
-    out_ref[:] = jnp.pad(sums, ((0, 0), (0, 128 - 3)))
+    def inst_sum(x):                               # (bc, ww, hp) -> (bc, 1)
+        return x.sum(axis=2).sum(axis=1, keepdims=True)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (bc, 128), 1)
+    zero = jnp.float32(0)
+    out_ref[:] = (jnp.where(col == 0, inst_sum(mass), zero)
+                  + jnp.where(col == 1, inst_sum(ysum), zero)
+                  + jnp.where(col == 2, inst_sum(xsum), zero))
 
 
 def _pack_cols(masks: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
@@ -616,7 +625,12 @@ def filled_centroid_packed(masks: jnp.ndarray,
     b, h, w = masks.shape
     packed, wwp, hp = _pack_cols(masks)
     per = wwp * hp * 4 * 8
-    bc = max(1, min(b, (12 * 1024 * 1024) // per))
+    bc = max(1, min(b, _FLOOD_VMEM_BUDGET // per))
+    if bc < b:
+        # Multi-step grid: the (bc, 128) output block's sublane dim must be
+        # a multiple of 8 (TPU block rule; a bc==array-dim single block is
+        # exempt). flood_packed_supported() guarantees 8 instances fit.
+        bc = max(8, bc - bc % 8)
     bpad = -(-b // bc) * bc
     packed = jnp.pad(packed, ((0, bpad - b), (0, 0), (0, 0)))
     kern = functools.partial(_flood_packed_kernel, bc=bc, ww=wwp, hp=hp,
@@ -636,9 +650,11 @@ def filled_centroid_packed(masks: jnp.ndarray,
 
 
 def flood_packed_supported(shape: tuple[int, int]) -> bool:
-    """One instance must fit the VMEM block (it always does for clinical
-    frame sizes: a 4096x4096 mask packs to 4 MB)."""
+    """Eight instances must fit the VMEM budget: when a batch spans several
+    grid steps the output block's sublane dim must be a multiple of 8, so
+    the kernel may be forced up to bc=8 regardless of the per-instance
+    footprint. Covers clinical frames up to ~2.5k x 2.5k."""
     h, w = shape
     wwp = -(-(-(-w // 32)) // 8) * 8   # ceil(ceil(w/32)/8)*8 words
     hp = max(-(-h // 128) * 128, 128)
-    return wwp * hp * 4 * 8 <= 12 * 1024 * 1024
+    return wwp * hp * 4 * 8 * 8 <= _FLOOD_VMEM_BUDGET

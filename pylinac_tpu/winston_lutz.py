@@ -450,16 +450,35 @@ def _filled_centroid(arr: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
 
 
 def _filled_centroid_batch(arrs: jnp.ndarray, thrs: jnp.ndarray) -> jnp.ndarray:
-    """Batched field centroids. Full-res EPID frames exceed the int32 VMEM
-    budget, so on TPU the flood runs BIT-PACKED (32 columns/word): the whole
-    batch floods in one VMEM-resident Kogge-Stone program
-    (:func:`pylinac_tpu.ops.pallas_label.filled_centroid_packed`).
-    ``PYLINAC_TPU_FLOOD=xla`` forces the vmapped XLA form (perf A/B knob,
-    part of the jit cache key so it can flip mid-process)."""
+    """Batched field centroids. A radiation field mask is convex (a possibly
+    rotated rectangle), so ``binary_fill_holes`` reduces to the 4-directional
+    crossing test — four cumulative scans, one fused XLA dispatch, no
+    iteration (default). ``PYLINAC_TPU_FLOOD`` selects the alternatives for
+    A/B: ``packed`` = bit-packed pallas Kogge-Stone flood, ``xla`` = vmapped
+    CCL-based fill (exact for non-convex masks); the knob is part of the jit
+    cache key so it can flip mid-process."""
     import os
 
     return _filled_centroid_batch_jit(
         arrs, thrs, mode=os.environ.get("PYLINAC_TPU_FLOOD", ""))
+
+
+def _convex_fill_centroids(masks: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) bool → (B, 2) centroids of convex-filled masks: a pixel is
+    inside iff a set pixel exists in all four axis directions (equals
+    fill_holes for convex regions)."""
+    m = masks.astype(jnp.int32)
+    left = jnp.cumsum(m, axis=2) > 0
+    right = jnp.cumsum(m[:, :, ::-1], axis=2)[:, :, ::-1] > 0
+    top = jnp.cumsum(m, axis=1) > 0
+    bot = jnp.cumsum(m[:, ::-1, :], axis=1)[:, ::-1, :] > 0
+    f = (left & right & top & bot).astype(jnp.float32)
+    b, h, w = masks.shape
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    mass = jnp.maximum(jnp.sum(f, axis=(1, 2)), 1.0)
+    return jnp.stack([jnp.sum(f * yy, axis=(1, 2)) / mass,
+                      jnp.sum(f * xx, axis=(1, 2)) / mass], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
@@ -468,13 +487,11 @@ def _filled_centroid_batch_jit(arrs: jnp.ndarray, thrs: jnp.ndarray,
     from .ops.pallas_label import filled_centroid_packed, flood_packed_supported
 
     masks = arrs >= thrs[:, None, None]
-    xla = jax.vmap(_filled_centroid_mask)
     if mode == "xla":
-        return xla(masks)
-    if flood_packed_supported(masks.shape[1:]):
-        return jax.lax.platform_dependent(
-            masks, tpu=filled_centroid_packed, default=xla)
-    return xla(masks)
+        return jax.vmap(_filled_centroid_mask)(masks)
+    if mode == "packed" and flood_packed_supported(masks.shape[1:]):
+        return filled_centroid_packed(masks)
+    return _convex_fill_centroids(masks)
 
 
 class WLBaseImage(image.LinacDicomImage):

@@ -131,3 +131,59 @@ def test_filled_centroid_packed_interpret_matches_xla():
         ref = (float((filled * yy).sum() / mass), float((filled * xx).sum() / mass))
         assert got[i][0] == pytest.approx(ref[0], abs=1e-3), f"cy inst {i}"
         assert got[i][1] == pytest.approx(ref[1], abs=1e-3), f"cx inst {i}"
+
+
+def test_flood_packed_block_shapes_are_tpu_legal():
+    """The (bc, 128) output block must satisfy the TPU block rule: sublane
+    dim a multiple of 8, or equal to the padded batch (single grid step).
+    Round 3 regression: bc=7 from the VMEM budget crashed Mosaic lowering
+    on hardware (driver bench WL FAILED)."""
+    from pylinac_tpu.ops import pallas_label as plab
+
+    for b, h, w in [(14, 768, 1024), (14, 1190, 1190), (3, 300, 400),
+                    (64, 768, 1024), (100, 2048, 2048)]:
+        if not plab.flood_packed_supported((h, w)):
+            continue
+        wwp = -(-(-(-w // 32)) // 8) * 8
+        hp = max(-(-h // 128) * 128, 128)
+        per = wwp * hp * 4 * 8
+        bc = max(1, min(b, plab._FLOOD_VMEM_BUDGET // per))
+        if bc < b:
+            bc = max(8, bc - bc % 8)
+        bpad = -(-b // bc) * bc
+        assert bc % 8 == 0 or bc == bpad, (b, h, w, bc, bpad)
+        assert bc * per <= 2 * plab._FLOOD_VMEM_BUDGET  # stays within VMEM
+
+
+def test_convex_fill_centroids_match_fill_holes_on_fields():
+    """WL's default field-centroid fill (4-directional crossing test) equals
+    binary_fill_holes for convex field masks, including rotated fields."""
+    import scipy.ndimage as ndi
+
+    from pylinac_tpu.winston_lutz import _convex_fill_centroids
+
+    rng = np.random.default_rng(7)
+    H, W = 120, 160
+    masks = np.zeros((4, H, W), bool)
+    yy, xx = np.mgrid[:H, :W]
+    # axis-aligned field with a BB hole
+    m = (abs(yy - 60) < 30) & (abs(xx - 80) < 45)
+    m &= ~(((yy - 58) ** 2 + (xx - 78) ** 2) < 16)
+    masks[0] = m
+    # rotated (collimator-rotated) field with a hole
+    a = np.deg2rad(20)
+    u = (xx - 80) * np.cos(a) + (yy - 60) * np.sin(a)
+    v = -(xx - 80) * np.sin(a) + (yy - 60) * np.cos(a)
+    m = (abs(u) < 40) & (abs(v) < 25)
+    m &= ~(((yy - 62) ** 2 + (xx - 84) ** 2) < 12)
+    masks[1] = m
+    # ellipse (cone field)
+    masks[2] = ((yy - 55) / 28.0) ** 2 + ((xx - 90) / 50.0) ** 2 < 1
+    # small off-center disk
+    masks[3] = ((yy - 30) ** 2 + (xx - 40) ** 2) < 200
+    got = np.asarray(_convex_fill_centroids(jnp.asarray(masks)))
+    for i in range(4):
+        filled = ndi.binary_fill_holes(masks[i])
+        ref = ndi.center_of_mass(filled)
+        assert got[i][0] == pytest.approx(ref[0], abs=1e-3), f"cy inst {i}"
+        assert got[i][1] == pytest.approx(ref[1], abs=1e-3), f"cx inst {i}"
