@@ -484,3 +484,27 @@ def field_analysis_strips_batch_packed(vert_strips: jnp.ndarray,
 
     return pack_tree(_field_analysis_strips_batch(
         vert_strips, horiz_strips, params, **static))
+
+
+_FA_WIRE_STATICS = _FA_STRIP_STATICS + ("B", "H", "W")
+
+N_FA_PARAMS = len(FAParams._fields)
+
+
+@functools.partial(jax.jit, static_argnames=_FA_WIRE_STATICS)
+def field_analysis_wire_packed(wire: jnp.ndarray, *, B: int, H: int, W: int,
+                               **static) -> jnp.ndarray:
+    """One-wire batch entry: the ENTIRE host→device payload — (B, H) vertical
+    strips, (B, W) horizontal strips, and the 9 :class:`FAParams` scalars —
+    arrives as ONE flat float32 vector, so a tunneled device pays exactly one
+    H2D transfer, one dispatch, and (via the packed return) one D2H fetch per
+    batch (reference per-image loop: /root/reference/pylinac/field_analysis.py:565).
+    Params ride the wire as traced values, so changing tolerances/penumbra
+    does not retrigger compilation."""
+    from .pack import pack_tree
+
+    vert = wire[: B * H].reshape(B, H)
+    horiz = wire[B * H: B * H + B * W].reshape(B, W)
+    p = wire[B * H + B * W:]
+    params = FAParams(*(p[i] for i in range(N_FA_PARAMS)))
+    return pack_tree(_field_analysis_strips_batch(vert, horiz, params, **static))
