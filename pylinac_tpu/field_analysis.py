@@ -650,9 +650,10 @@ class FieldAnalysisBatch:
     TPU-native replacement for looping ``FieldAnalysis.analyze`` over a QA
     session (reference per-image semantics:
     ``/root/reference/pylinac/field_analysis.py:565``). All images must
-    share shape and dpmm. Supports FWHM and INFLECTION_DERIVATIVE edge
-    methods with LINEAR interpolation; for INFLECTION_HILL or cubic
-    interpolation use the single-image class.
+    share shape and dpmm. Supports all three edge methods (FWHM,
+    INFLECTION_DERIVATIVE, INFLECTION_HILL — the Hill sigmoid fits run as
+    masked Levenberg-Marquardt solves vmapped over edges × images) with
+    LINEAR interpolation; for cubic interpolation use the single-image class.
     """
 
     def __init__(self, images, filter: int | None = None,
@@ -693,7 +694,8 @@ class FieldAnalysisBatch:
                 interpolation_resolution_mm: float = 0.1, ground: bool = True,
                 normalization_method: Normalization | str = Normalization.BEAM_CENTER,
                 edge_detection_method: Edge | str = Edge.INFLECTION_DERIVATIVE,
-                edge_smoothing_ratio: float = 0.003, **kwargs) -> None:
+                edge_smoothing_ratio: float = 0.003,
+                hill_window_ratio: float = 0.15, **kwargs) -> None:
         """Batch equivalent of :meth:`FieldAnalysis.analyze` (one device
         dispatch for the whole image set)."""
         import functools
@@ -712,9 +714,6 @@ class FieldAnalysisBatch:
         interpolation = convert_to_enum(interpolation, Interpolation)
         normalization = convert_to_enum(normalization_method, Normalization)
         centering = convert_to_enum(centering, Centering)
-        if edge == Edge.INFLECTION_HILL:
-            raise ValueError(
-                "INFLECTION_HILL is not supported in batch mode; use FieldAnalysis")
         if interpolation != Interpolation.LINEAR:
             raise ValueError(
                 "Batch mode requires LINEAR interpolation; use FieldAnalysis")
@@ -804,7 +803,8 @@ class FieldAnalysisBatch:
             edge=edge.value, centering=centering.value,
             normalization=normalization.value,
             flatness=flat_name, symmetry=sym_name, ground=ground,
-            edge_smoothing_ratio=edge_smoothing_ratio)
+            edge_smoothing_ratio=edge_smoothing_ratio,
+            hill_window_ratio=hill_window_ratio)
         # one-wire dispatch: strips + params cross the link as a single flat
         # f32 buffer (one H2D), the whole analysis is one jitted dispatch, and
         # the packed return is one D2H fetch — three round trips per batch
@@ -851,7 +851,15 @@ class FieldAnalysisBatch:
                 key = "flatness" if name == "flatness" else "symmetry"
                 extra[f"{name}_horizontal"] = h[key]
                 extra[f"{name}_vertical"] = v[key]
+        grads = {}
+        if self._edge == Edge.INFLECTION_HILL:
+            grads = dict(
+                top_penumbra_percent_mm=v["penumbra_left_grad_pct_mm"],
+                bottom_penumbra_percent_mm=v["penumbra_right_grad_pct_mm"],
+                left_penumbra_percent_mm=h["penumbra_left_grad_pct_mm"],
+                right_penumbra_percent_mm=h["penumbra_right_grad_pct_mm"])
         return FieldResult(
+            **grads,
             protocol=self._protocol.name,
             protocol_results=extra,
             centering_method=getattr(self._centering, "value", None),

@@ -13,8 +13,9 @@ session's worth of field images runs in a single device dispatch.
 Numerics mirror ``pylinac_tpu.core.profile.SingleProfile`` query by query
 (same peak kernel, same rounding, same window selection) so batch results
 match the single-image host path to float32 precision.  Supported edge
-methods: FWHM and INFLECTION_DERIVATIVE (INFLECTION_HILL stays on the
-single-image path — its per-edge sigmoid fits are a different solver).
+methods: FWHM, INFLECTION_DERIVATIVE, and INFLECTION_HILL (the per-edge
+4-param sigmoid fits run as masked fixed-slot Levenberg-Marquardt solves
+vmapped over edges × images; reference ``core/profile.py:682``).
 """
 
 from __future__ import annotations
@@ -140,6 +141,54 @@ def _masked_quadratic_fit(x: jnp.ndarray, y: jnp.ndarray, m: jnp.ndarray) -> tup
     return a, b, c
 
 
+def _hill_fit_masked(x: jnp.ndarray, y: jnp.ndarray, m: jnp.ndarray,
+                     n_iter: int = 60) -> jnp.ndarray:
+    """Masked fixed-slot Hill fit — same solver + initial guess as
+    :func:`pylinac_tpu.ops.optimize.hill_fit` (reference ``core/hill.py:22``)
+    but over a contiguous run of valid slots so the window length can stay
+    a traced value."""
+    from .optimize import hill_func, levenberg_marquardt
+
+    big = jnp.float32(1e30)
+    n_valid = jnp.maximum(jnp.sum(m), 2)
+    first = jnp.argmax(m)
+    last = first + n_valid - 1
+    mid = first + n_valid // 2
+    ymin = jnp.min(jnp.where(m, y, big))
+    ymax = jnp.max(jnp.where(m, y, -big))
+    slope_up = y[last] > y[first]
+    p0 = jnp.stack([ymin, ymax, x[mid], jnp.where(slope_up, 10.0, -10.0)])
+    xs = jnp.where(m, x, 1.0)  # masked-out x may be <=0: guard the power
+
+    def residual(p):
+        return jnp.where(m, hill_func(xs, p[0], p[1], p[2], p[3]) - y, 0.0)
+
+    return levenberg_marquardt(residual, p0, n_iter=n_iter)
+
+
+def _hill_edges(v: jnp.ndarray, x0: jnp.ndarray, dx: jnp.ndarray,
+                seed_left: jnp.ndarray, seed_right: jnp.ndarray,
+                half_window: jnp.ndarray, samples: int, K: int):
+    """Fit the left and right Hill sigmoids around the derivative-seeded
+    edges and return (params_l, params_r, infl_l, infl_r) in original-pixel
+    coordinates (``SingleProfile._inflection_data`` Hill branch,
+    ``core/profile.py:840-859``): window x = arange(seed−hw, seed+hw) at unit
+    original-pixel steps, left filtered to x≥0, right to x<len(interp)."""
+    from .optimize import hill_inflection
+
+    k = jnp.arange(K, dtype=jnp.float32)
+
+    def fit(seed, lo, hi):
+        x = seed - half_window + k
+        m = (k < 2.0 * half_window) & (x >= lo) & (x < hi)
+        y = _y_at_frac(v, (x - x0) / dx)
+        return _hill_fit_masked(x, y, m)
+
+    params_l = fit(seed_left, 0.0, jnp.inf)
+    params_r = fit(seed_right, -jnp.inf, float(samples))
+    return params_l, params_r, hill_inflection(params_l), hill_inflection(params_r)
+
+
 # ---------------------------------------------------------------------------
 # the per-profile analysis
 # ---------------------------------------------------------------------------
@@ -148,13 +197,14 @@ def analyze_field_profile(
     params: FAParams,
     *,
     samples: int,
-    edge: str,                 # "FWHM" | "Inflection Derivative"
+    edge: str,                 # "FWHM" | "Inflection Derivative" | "Inflection Hill"
     centering: str,            # "Beam center" | "Geometric center" | "manual"
     normalization: str,        # "Beam center" | "Max" | "None" | "Geometric center"
     flatness: str,             # "difference" | "ratio" | "none"
     symmetry: str,             # "point difference" | "pdq" | "area" | "none"
     ground: bool = True,
     edge_smoothing_ratio: float = 0.003,
+    hill_window_ratio: float = 0.15,
 ) -> dict:
     """All FieldAnalysis scalar metrics of ONE 1D profile; pure jax.
 
@@ -180,7 +230,7 @@ def analyze_field_profile(
     fwhm_width = to_orig(r50) - to_orig(l50)
 
     # inflection-derivative edges (index results are normalization-invariant)
-    if edge == "Inflection Derivative":
+    if edge in ("Inflection Derivative", "Inflection Hill"):
         from .filters import gaussian_filter1d
 
         sigma = edge_smoothing_ratio * samples
@@ -198,6 +248,19 @@ def analyze_field_profile(
         beam_center_idx = fwhm_center
         full_width = fwhm_width
 
+    if edge == "Inflection Hill":
+        # fixed slot budget: window length = 2·hw ≤ ratio·(n_orig + 1) + 1
+        k_hill = int(hill_window_ratio * (n_orig + 2)) + 4
+        seed_left, seed_right = infl_left_orig, infl_right_orig
+        hill_hw = jnp.round(
+            hill_window_ratio * jnp.abs(seed_right - seed_left) / 2.0)
+        if normalization == "Beam center":
+            # the host path computes the normalization scale from a Hill fit
+            # on the GROUNDED values, then re-fits after normalizing
+            _, _, il0, ir0 = _hill_edges(
+                v, x0, dx, seed_left, seed_right, hill_hw, samples, k_hill)
+            beam_center_idx = il0 + (ir0 - il0) / 2.0
+
     # normalization (reference Normalization enum semantics)
     bc_val_rounded = y_at_orig(jnp.round(beam_center_idx))
     if normalization == "Beam center":
@@ -213,16 +276,41 @@ def analyze_field_profile(
     pk = pk._replace(val=pk.val / scale, prom=pk.prom / scale)
     bc_val_rounded = bc_val_rounded / scale
 
+    if edge == "Inflection Hill":
+        # final fits on the normalized values (the host path's memo cache is
+        # invalidated by normalization, so inflection_data re-fits there too)
+        hill_l, hill_r, infl_left_orig, infl_right_orig = _hill_edges(
+            v, x0, dx, seed_left, seed_right, hill_hw, samples, k_hill)
+        beam_center_idx = infl_left_orig + (infl_right_orig - infl_left_orig) / 2.0
+        full_width = infl_right_orig - infl_left_orig
+        bc_val_rounded = y_at_orig(jnp.round(beam_center_idx))
+
     geometric_center_idx = to_orig((samples - 1) / 2.0)
     cax_idx = geometric_center_idx
     center_idx = cax_idx if centering == "Geometric center" else beam_center_idx
 
     # ---- penumbra ----------------------------------------------------------
+    hill_grads = None
     if edge == "FWHM":
         lo_l, lo_r = _ips_at(v, pk, 1.0 - params.pen_lower / 100.0)
         hi_l, hi_r = _ips_at(v, pk, 1.0 - params.pen_upper / 100.0)
         pen_left = jnp.abs(to_orig(hi_l) - to_orig(lo_l))
         pen_right = jnp.abs(to_orig(hi_r) - to_orig(lo_r))
+    elif edge == "Inflection Hill":
+        # analytic from the fitted sigmoids (``SingleProfile.penumbra`` Hill
+        # branch, ``core/profile.py:916-948``)
+        from .optimize import hill_func, hill_gradient, hill_x_at_y
+
+        left_val = hill_func(infl_left_orig, *hill_l)
+        right_val = hill_func(infl_right_orig, *hill_r)
+        pen_left = jnp.abs(
+            hill_x_at_y(hill_l, left_val * params.pen_upper / 50.0)
+            - hill_x_at_y(hill_l, left_val * params.pen_lower / 50.0))
+        pen_right = jnp.abs(
+            hill_x_at_y(hill_r, right_val * params.pen_upper / 50.0)
+            - hill_x_at_y(hill_r, right_val * params.pen_lower / 50.0))
+        hill_grads = (hill_gradient(hill_l, infl_left_orig),
+                      hill_gradient(hill_r, infl_right_orig))
     else:
         vmax = jnp.max(v)
         left_val = y_at_orig(infl_left_orig)
@@ -312,7 +400,7 @@ def analyze_field_profile(
         sym = svals[jnp.argmax(jnp.abs(svals))]
 
     mm = params.dpmm
-    return {
+    out = {
         "penumbra_left_mm": pen_left / mm,
         "penumbra_right_mm": pen_right / mm,
         "geometric_center_idx": geometric_center_idx,
@@ -330,6 +418,10 @@ def analyze_field_profile(
         "flatness": flat,
         "symmetry": sym,
     }
+    if hill_grads is not None:
+        out["penumbra_left_grad_pct_mm"] = jnp.abs(hill_grads[0] * mm * 100.0)
+        out["penumbra_right_grad_pct_mm"] = jnp.abs(hill_grads[1] * mm * 100.0)
+    return out
 
 
 def _beam_center_ratio(sums: jnp.ndarray) -> jnp.ndarray:
@@ -362,6 +454,7 @@ def field_analysis_image(
     symmetry: str,
     ground: bool = True,
     edge_smoothing_ratio: float = 0.003,
+    hill_window_ratio: float = 0.15,
 ) -> dict:
     """One open-field EPID image → every FieldResult scalar; pure jax."""
     H, W = img.shape
@@ -392,7 +485,8 @@ def field_analysis_image(
 
     kw = dict(edge=edge, centering=centering, normalization=normalization,
               flatness=flatness, symmetry=symmetry, ground=ground,
-              edge_smoothing_ratio=edge_smoothing_ratio)
+              edge_smoothing_ratio=edge_smoothing_ratio,
+              hill_window_ratio=hill_window_ratio)
     vert = analyze_field_profile(vert_values, params, samples=samples_v, **kw)
     horiz = analyze_field_profile(horiz_values, params, samples=samples_h, **kw)
 
@@ -424,7 +518,7 @@ def field_analysis_image(
 
 _FA_STATICS = ("samples_v", "samples_h", "edge", "centering",
                "normalization", "flatness", "symmetry", "ground",
-               "edge_smoothing_ratio")
+               "edge_smoothing_ratio", "hill_window_ratio")
 
 
 def _field_analysis_batch(images: jnp.ndarray, params: FAParams, **static) -> dict:
@@ -450,7 +544,7 @@ def field_analysis_batch_packed(images: jnp.ndarray, params: FAParams, **static)
 
 _FA_STRIP_STATICS = ("samples_v", "samples_h", "edge", "centering",
                      "normalization", "flatness", "symmetry", "ground",
-                     "edge_smoothing_ratio")
+                     "edge_smoothing_ratio", "hill_window_ratio")
 
 
 def _field_analysis_strips_batch(vert_strips: jnp.ndarray,

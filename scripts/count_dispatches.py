@@ -1,17 +1,22 @@
 """Count device dispatches (compiled executions) per analysis stage.
 
-Every compiled execution in JAX — explicit ``jax.jit`` calls AND eager
-primitive applications — funnels through ``jax._src.pjit._pjit_call_impl``.
-On a tunneled TPU each such execution is a ~31 ms round trip
-(PERF_BUDGET.json), so the dispatch COUNT per ``*Batch.analyze()`` is the
-round's primary perf metric (VERDICT round-3 ask #1/#4).  Host→device
-transfers (``device_put``) are counted separately.
+Every compiled execution in JAX — ``jax.jit`` calls AND eager primitive
+applications — ends in ``LoadedExecutable.execute_sharded``; on a tunneled
+TPU each execution is a ~31 ms round trip (PERF_BUDGET.json), so the
+dispatch COUNT per ``*Batch.analyze()`` is the round's primary perf metric
+(VERDICT round-3 ask #1/#4).  Each dispatch is attributed to the innermost
+``pylinac_tpu``/``bench`` stack frame so the hot call sites are visible.
 
 Usage::
 
     python scripts/count_dispatches.py [Config ...]
+    PYLINAC_COUNT_PLATFORM=axon python scripts/count_dispatches.py CatPhan504
 
-Prints per-config dispatch counts and the top jaxpr names.
+Defaults to the in-process CPU backend.  With
+``PYLINAC_COUNT_PLATFORM=axon`` (PYTHONPATH must include /root/.axon_site)
+each dispatch is labeled with its target platform, separating ~31 ms tunnel
+round trips (axon) from microsecond host-side CPU dispatches that
+``ops.route`` deliberately keeps off the wire.
 """
 from __future__ import annotations
 
@@ -19,45 +24,63 @@ import collections
 import contextlib
 import os
 import sys
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_PLATFORM = os.environ.get("PYLINAC_COUNT_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _PLATFORM
 
 import jax  # noqa: E402
+
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 COUNTS: collections.Counter = collections.Counter()
 ACTIVE = False
 
 
+def _attribute() -> str:
+    """Innermost project frame of the current stack."""
+    for frame in reversed(traceback.extract_stack()):
+        fn = frame.filename
+        if ("pylinac_tpu" in fn or fn.endswith("bench.py")) and "pack.py" not in fn:
+            short = fn.split("pylinac_tpu/")[-1].split("/")[-1]
+            return f"{short}:{frame.lineno}"
+    return "<jax internals>"
+
+
 def _install() -> None:
+    import jax._src.interpreters.pxla as pxla
     import jax._src.pjit as pjit_mod
 
-    orig_call = pjit_mod._pjit_call_impl
+    # the C++ pjit fastpath executes cached calls without touching Python;
+    # disable it so every execution routes through ExecuteReplicated
+    pjit_mod._get_fastpath_data = lambda *a, **k: None
 
-    def counting_call(*args, jaxpr=None, **kwargs):
+    orig_call = pxla.ExecuteReplicated.__call__
+
+    def counting(self, *args):
         if ACTIVE:
-            name = "?"
             try:
-                eqns = jaxpr.jaxpr.eqns
-                name = (eqns[0].primitive.name if len(eqns) == 1
-                        else f"jit[{len(eqns)} eqns]")
-                dbg = getattr(jaxpr.jaxpr, "debug_info", None)
-                if dbg is not None and getattr(dbg, "func_name", None):
-                    name = f"{dbg.func_name}:{name}"
+                plat = self._local_devices[0].platform
             except Exception:
-                pass
-            COUNTS[name] += 1
-        return orig_call(*args, jaxpr=jaxpr, **kwargs)
+                try:
+                    plat = self.xla_executable.local_devices()[0].platform
+                except Exception:
+                    plat = "?"
+            COUNTS[f"[{plat}] {_attribute()}"] += 1
+        return orig_call(self, *args)
 
-    pjit_mod._pjit_call_impl = counting_call
+    pxla.ExecuteReplicated.__call__ = counting
 
     orig_put = jax.device_put
 
-    def counting_put(*args, **kwargs):
+    def counting_put(x, device=None, **kwargs):
         if ACTIVE:
-            COUNTS["device_put"] += 1
-        return orig_put(*args, **kwargs)
+            plat = getattr(device, "platform", None) or jax.default_backend()
+            COUNTS[f"[{plat}] device_put @ {_attribute()}"] += 1
+        return orig_put(x, device, **kwargs)
 
     jax.device_put = counting_put
 
@@ -73,7 +96,7 @@ def counting(label: str):
         ACTIVE = False
         total = sum(COUNTS.values())
         print(f"\n== {label}: {total} dispatches ==")
-        for name, n in COUNTS.most_common(25):
+        for name, n in COUNTS.most_common(30):
             print(f"  {n:5d}  {name}")
 
 

@@ -44,7 +44,8 @@ TOP_FIELDS_MM = [
 ]
 
 
-@pytest.mark.parametrize("edge", ["FWHM", "Inflection Derivative"])
+@pytest.mark.parametrize("edge", ["FWHM", "Inflection Derivative",
+                                  "Inflection Hill"])
 def test_batch_matches_single(field_files, edge):
     from pylinac_tpu.field_analysis import (
         FieldAnalysis,
@@ -78,6 +79,11 @@ def test_batch_matches_single(field_files, edge):
         assert br.protocol_results["symmetry_vertical"] == pytest.approx(
             sr.protocol_results["symmetry_vertical"], abs=0.1)
         assert br.central_roi_mean == pytest.approx(sr.central_roi_mean, rel=1e-4)
+        if edge == "Inflection Hill":
+            # analytic sigmoid gradients at the inflection (%/mm)
+            for f in ("top_penumbra_percent_mm", "bottom_penumbra_percent_mm",
+                      "left_penumbra_percent_mm", "right_penumbra_percent_mm"):
+                assert getattr(br, f) == pytest.approx(getattr(sr, f), rel=0.02), f
         assert br.left_slope_percent_mm == pytest.approx(
             sr.left_slope_percent_mm, abs=0.02)
         assert br.top_slope_percent_mm == pytest.approx(
@@ -125,9 +131,9 @@ def test_batch_fff_top(tmp_path):
     assert abs(br.top_horizontal_distance_from_cax_mm) < 1.0
 
 
-def test_batch_rejects_hill(field_files):
+def test_batch_rejects_cubic_interpolation(field_files):
     from pylinac_tpu.field_analysis import FieldAnalysisBatch
 
     batch = FieldAnalysisBatch(field_files)
-    with pytest.raises(ValueError, match="INFLECTION_HILL"):
-        batch.analyze(edge_detection_method="Inflection Hill")
+    with pytest.raises(ValueError, match="LINEAR"):
+        batch.analyze(interpolation="Spline")
