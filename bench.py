@@ -806,7 +806,8 @@ def main() -> None:
     except ImportError:
         pass
     # dev aid: `python bench.py WinstonLutz CatPhan504` times a subset
-    if len(sys.argv) > 1:
+    subset_run = len(sys.argv) > 1
+    if subset_run:
         wanted = {a.lower() for a in sys.argv[1:]}
         configs = [c for c in configs if c.name.lower() in wanted]
 
@@ -824,7 +825,10 @@ def main() -> None:
     ns_ips = sum(d["tpu_images_per_s"] for d in ns) or sum(
         d["tpu_images_per_s"] for d in ok)
 
-    with open("BENCH_DETAILS.json", "w") as f:
+    # BENCH_DETAILS.json is the authoritative all-config record (README);
+    # subset dev runs write a scratch file so they can't clobber it
+    details_path = "BENCH_DETAILS.partial.json" if subset_run else "BENCH_DETAILS.json"
+    with open(details_path, "w") as f:
         json.dump(details, f, indent=2)
 
     names = "+".join(d["config"] for d in ok)

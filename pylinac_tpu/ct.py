@@ -40,12 +40,6 @@ from .core.warnings import capture_warnings
 from .core.image import z_position
 from .ops import label as jlabel
 from .ops.filters import gaussian_filter, scharr
-from .ops.stats import (
-    average_power,
-    max_frequency,
-    noise_power_spectrum_1d,
-    noise_power_spectrum_2d,
-)
 from .ops.threshold import otsu_threshold
 from .metrics.utils import RegionView
 
@@ -890,33 +884,36 @@ class CTP486(CatPhanModule):
         return (maxhu - minhu) / (maxhu + minhu + 2000)
 
     @cached_property
-    def power_spectrum_2d(self) -> np.ndarray:
+    def _nps(self) -> tuple[np.ndarray, np.ndarray, float, float]:
+        """(ps2d, ps1d, avg_power, max_freq) from ONE jitted dispatch on the
+        in-process CPU backend (the ROI stack is a few hundred KB; eager
+        evaluation cost ~30 device executions per scan)."""
         from .ops import route
+        from .ops.stats import nps_bundle
 
         rois = [r.pixel_array for r in self.nps_rois.values()]
         length = min(min(r.shape) for r in rois)
         stacked = np.stack([r[:length, :length] for r in rois])
-        return np.asarray(noise_power_spectrum_2d(
+        ps2d, ps1d, avg, maxf = nps_bundle(
             route.put(stacked.astype(np.float32)),
-            pixel_size=self.mm_per_pixel))
+            pixel_size=self.mm_per_pixel)
+        return np.asarray(ps2d), np.asarray(ps1d), float(avg), float(maxf)
 
-    @cached_property
+    @property
+    def power_spectrum_2d(self) -> np.ndarray:
+        return self._nps[0]
+
+    @property
     def power_spectrum_1d(self) -> np.ndarray:
-        from .ops import route
-
-        return np.asarray(noise_power_spectrum_1d(route.put(self.power_spectrum_2d)))
+        return self._nps[1]
 
     @property
     def avg_noise_power(self) -> float:
-        from .ops import route
-
-        return float(average_power(route.put(self.power_spectrum_1d)))
+        return self._nps[2]
 
     @property
     def max_noise_power_frequency(self) -> float:
-        from .ops import route
-
-        return float(max_frequency(route.put(self.power_spectrum_1d)))
+        return self._nps[3]
 
 
 class CTP528(CatPhanModule):

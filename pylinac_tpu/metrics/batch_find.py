@@ -72,17 +72,19 @@ def _kept_mask_bb(regions: jlabel.Regions, *, dpmm: float, bb_radius_mm: float,
     return regions.valid & ok_size & ok_round & ok_circ & ok_sym & ok_solid
 
 
-@functools.partial(jax.jit, static_argnames=("K", "dpmm", "bb_radius_mm",
-                                             "tolerance_mm"))
-def _batched_bb_scan(windows: jnp.ndarray, cutoffs: jnp.ndarray, *, K: int,
-                     dpmm: float, bb_radius_mm: float, tolerance_mm: float) -> jnp.ndarray:
-    """(B, h, w) stretched windows → packed (B, 1+3K) f32:
-    [found, kept(K), wc_row(K), wc_col(K)] per image.
+def bb_scan_core(windows: jnp.ndarray, cutoffs: jnp.ndarray, *, K: int,
+                 dpmm: float, bb_radius_mm: float,
+                 tolerance_mm: float) -> jnp.ndarray:
+    """Traceable core of the batched BB scan: (B, h, w) stretched windows →
+    packed (B, 1+3K) f32: [found, kept(K), wc_row(K), wc_col(K)] per image.
 
     The full (thresholds × images) mask set runs through ONE batched CCL
     (:func:`pylinac_tpu.ops.label.regionprops_batch`): vmapping the
     single-image kernel instead serializes one pallas grid step per
-    (threshold, image) pair — ~15 ms each, minutes for a WL session."""
+    (threshold, image) pair — ~15 ms each, minutes for a WL session.
+    Callers fuse this into larger jitted pipelines (the Winston-Lutz
+    field+BB detect runs it alongside the field-centroid fill in ONE
+    dispatch)."""
     b, h, w = windows.shape
     t = cutoffs.shape[0]
     masks = (windows[None, :, :, :] > cutoffs[:, None, None, None]
@@ -104,6 +106,10 @@ def _batched_bb_scan(windows: jnp.ndarray, cutoffs: jnp.ndarray, *, K: int,
         found.astype(jnp.float32)[:, None],
         kept[t_star, img_ix].astype(jnp.float32),
         wr[t_star, img_ix], wc[t_star, img_ix]], axis=1)
+
+
+_batched_bb_scan = jax.jit(bb_scan_core, static_argnames=(
+    "K", "dpmm", "bb_radius_mm", "tolerance_mm"))
 
 
 def batched_bb_windows(windows: list[np.ndarray], dpmm: float,

@@ -618,19 +618,32 @@ def _pack_cols(masks: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
     return packed, wwp, hp
 
 
-def filled_centroid_packed(masks: jnp.ndarray,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Traceable: (B, H, W) bool masks → (B, 2) f32 (cy, cx) centroids of
-    the hole-filled masks, flooding the whole batch bit-packed in VMEM."""
-    b, h, w = masks.shape
-    packed, wwp, hp = _pack_cols(masks)
-    per = wwp * hp * 4 * 8
+def _choose_bc(b: int, per: int) -> int:
+    """Batch-block size for the packed flood grid. Under the
+    :func:`flood_packed_supported` guard the invariant ``bc * per <=
+    _FLOOD_VMEM_BUDGET`` always holds (shared with the block-shape test)."""
     bc = max(1, min(b, _FLOOD_VMEM_BUDGET // per))
     if bc < b:
         # Multi-step grid: the (bc, 128) output block's sublane dim must be
         # a multiple of 8 (TPU block rule; a bc==array-dim single block is
         # exempt). flood_packed_supported() guarantees 8 instances fit.
         bc = max(8, bc - bc % 8)
+    return bc
+
+
+def filled_centroid_packed(masks: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Traceable: (B, H, W) bool masks → (B, 2) f32 (cy, cx) centroids of
+    the hole-filled masks, flooding the whole batch bit-packed in VMEM."""
+    b, h, w = masks.shape
+    if not flood_packed_supported((h, w)):
+        raise ValueError(
+            f"filled_centroid_packed: frame shape {(h, w)} exceeds the "
+            f"VMEM flood budget ({_FLOOD_VMEM_BUDGET} B for 8 instances); "
+            "check flood_packed_supported() and fall back to the XLA fill")
+    packed, wwp, hp = _pack_cols(masks)
+    per = wwp * hp * 4 * 8
+    bc = _choose_bc(b, per)
     bpad = -(-b // bc) * bc
     packed = jnp.pad(packed, ((0, bpad - b), (0, 0), (0, 0)))
     kern = functools.partial(_flood_packed_kernel, bc=bc, ww=wwp, hp=hp,

@@ -2,9 +2,17 @@
 
 Parity targets: reference ``core/contrast.py``, ``core/nps.py``,
 ``core/mtf.py``.
-"""
+
+The NPS chain is jitted: eagerly, ``radial_average`` alone issues ~8
+device executions (two ``arange`` creations, two ``segment_sum``s, ...)
+and a CatPhan batch paid ~120 tunnel round trips per warm analyze on a
+remote chip. Jitted, each call is ONE dispatch on whatever backend the
+input is committed to (``ops.route`` keeps the tiny ROI stacks on the
+in-process CPU)."""
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +47,7 @@ def visibility(contrast_value: jnp.ndarray, radius: jnp.ndarray, std: jnp.ndarra
 
 
 # --- Noise power spectrum (core/nps.py parity) ------------------------------
+@functools.partial(jax.jit, static_argnames=("pixel_size",))
 def noise_power_spectrum_2d(rois: jnp.ndarray, pixel_size: float) -> jnp.ndarray:
     """2D NPS from a stack of square ROIs (N, L, L) — ICRU 87 eq 11.1/11.2."""
     rois = rois.astype(jnp.float32)
@@ -64,17 +73,28 @@ def radial_average(arr: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(nr > 0, tbin / jnp.maximum(nr, 1), 0.0)
 
 
-def noise_power_spectrum_1d(spectrum_2d: jnp.ndarray) -> jnp.ndarray:
-    return radial_average(spectrum_2d)
+noise_power_spectrum_1d = jax.jit(radial_average)
 
 
+@jax.jit
 def average_power(nps1d: jnp.ndarray) -> jnp.ndarray:
     x = jnp.linspace(0.0, 1.0, nps1d.shape[0])
     return jnp.sum(x * nps1d) / jnp.sum(nps1d)
 
 
+@jax.jit
 def max_frequency(nps1d: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(nps1d) / nps1d.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("pixel_size",))
+def nps_bundle(rois: jnp.ndarray, pixel_size: float):
+    """(ps2d, ps1d, avg_power, max_freq) in ONE dispatch — the CTP486
+    uniformity module reads all four; computing them eagerly cost ~30
+    executions per scan."""
+    ps2d = noise_power_spectrum_2d(rois, pixel_size)
+    ps1d = radial_average(ps2d)
+    return ps2d, ps1d, average_power(ps1d), max_frequency(ps1d)
 
 
 # --- MTF helpers (core/mtf.py parity) ---------------------------------------

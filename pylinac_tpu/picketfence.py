@@ -990,12 +990,21 @@ class PicketFenceBatch:
             heights.append(bottom - top)
             centers.append(c_px)
             widths.append(w_px)
+        # device-resident config cache: each jnp.asarray here is a tunnel
+        # round trip (~31 ms); the leaf geometry only depends on
+        # (H, dpmm, ratio, mlc), so repeat analyzes reuse the staged arrays
+        key = (H, round(float(dpmm), 9), round(float(analysis_ratio), 9),
+               id(self.mlc))
+        cached = getattr(self, "_leaf_cfg_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2], cached[3]
         cfg = PFLeafConfig(
             tops=jnp.asarray(tops, jnp.int32),
             heights=jnp.asarray(heights, jnp.int32),
             centers_px=jnp.asarray(centers, jnp.float32),
             widths_px=jnp.asarray(widths, jnp.float32),
         )
+        self._leaf_cfg_cache = (key, cfg, np.asarray(leaves), max(heights))
         return cfg, np.asarray(leaves), max(heights)
 
     def analyze(self, tolerance: float = 0.5, action_tolerance: float | None = None,
@@ -1076,17 +1085,27 @@ class PicketFenceBatch:
             staged = (stage_key, jnp.asarray(stacked))
             self._stage_cache = staged
         batch = staged[1]
-        params = PFParams(
-            height_threshold=jnp.float32(height_threshold),
-            edge_threshold=jnp.float32(edge_threshold),
-            required_prominence=jnp.float32(required_prominence),
-            fwxm=jnp.float32(fwxm),
-            dpmm=jnp.float32(dpmm),
-            cax_col=jnp.float32(W / 2 - 0.5),
-            analysis_ratio=jnp.float32(leaf_analysis_width_ratio),
-            nominal_gap_px=jnp.float32(nominal_gap_mm / 2 * dpmm),
-            invert=np.bool_(invert),
-        )
+        # device-resident params cache: 8 eager jnp scalar creations are 8
+        # tunnel round trips per analyze on a remote chip
+        pkey = (height_threshold, edge_threshold, required_prominence, fwxm,
+                round(float(dpmm), 9), W, leaf_analysis_width_ratio,
+                nominal_gap_mm, bool(invert))
+        pcached = getattr(self, "_params_cache", None)
+        if pcached is not None and pcached[0] == pkey:
+            params = pcached[1]
+        else:
+            params = PFParams(
+                height_threshold=jnp.float32(height_threshold),
+                edge_threshold=jnp.float32(edge_threshold),
+                required_prominence=jnp.float32(required_prominence),
+                fwxm=jnp.float32(fwxm),
+                dpmm=jnp.float32(dpmm),
+                cax_col=jnp.float32(W / 2 - 0.5),
+                analysis_ratio=jnp.float32(leaf_analysis_width_ratio),
+                nominal_gap_px=jnp.float32(nominal_gap_mm / 2 * dpmm),
+                invert=np.bool_(invert),
+            )
+            self._params_cache = (pkey, params)
         import functools
 
         from .ops.pack import tree_spec, unpack_tree

@@ -490,13 +490,22 @@ class StarshotBatch:
         r_est = min(cy, cx) * radius
         n_ang = int(np.clip(int(np.pi * 2 * r_est * 3) // 256 * 256,
                             1024, 16384))
-        params = StarParams(
-            radius=jnp.float32(radius),
-            min_peak_height=jnp.float32(min_peak_height),
-            max_wobble_mm=jnp.float32(max_wobble_diameter),
-            dpmm=jnp.float32(dpmm),
-            invert=np.bool_(invert))
-        combos = jnp.asarray(_combo_table(radius, min_peak_height))
+        # device-resident params/combos cache: each eager jnp creation is a
+        # tunnel round trip (~31 ms) per analyze on a remote chip
+        pkey = (radius, min_peak_height, max_wobble_diameter,
+                round(dpmm, 9), bool(invert))
+        pcached = getattr(self, "_params_cache", None)
+        if pcached is not None and pcached[0] == pkey:
+            params, combos = pcached[1], pcached[2]
+        else:
+            params = StarParams(
+                radius=jnp.float32(radius),
+                min_peak_height=jnp.float32(min_peak_height),
+                max_wobble_mm=jnp.float32(max_wobble_diameter),
+                dpmm=jnp.float32(dpmm),
+                invert=np.bool_(invert))
+            combos = jnp.asarray(_combo_table(radius, min_peak_height))
+            self._params_cache = (pkey, params, combos)
         batch = stacked  # already device-resident
         static = dict(n_ang=n_ang, recursive=recursive, fwhm=fwhm,
                       chunk=min(chunk, len(self.images)))

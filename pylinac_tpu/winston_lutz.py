@@ -494,6 +494,43 @@ def _filled_centroid_batch_jit(arrs: jnp.ndarray, thrs: jnp.ndarray,
     return _convex_fill_centroids(masks)
 
 
+@functools.partial(jax.jit, static_argnames=("win", "K", "dpmm",
+                                             "bb_radius_mm", "tolerance_mm",
+                                             "invert_bb", "mode"))
+def _wl_detect_packed(arrs: jnp.ndarray, thrs: jnp.ndarray, *,
+                      win: tuple[int, int, int, int], K: int, dpmm: float,
+                      bb_radius_mm: float, tolerance_mm: float,
+                      invert_bb: bool, mode: str) -> jnp.ndarray:
+    """The whole WL detection pass — field centroids AND the windowed
+    multi-threshold BB scan — for every image in ONE dispatch, returning
+    one packed (B, 2 + 1 + 3K) array so the host pays exactly one fetch.
+
+    Semantics match the two separate pre-passes: the field half is
+    :func:`_filled_centroid_batch_jit`; the BB half crops the central
+    search window ON DEVICE (the staged frames already hold the
+    preprocessed pixels), applies the host prep (invert = max+min-w,
+    stretch to [0, 1]) per window, and runs
+    :func:`pylinac_tpu.metrics.batch_find.bb_scan_core`.
+    Reference semantics: ``/root/reference/pylinac/winston_lutz.py:764``
+    (field) and ``:788-808`` + ``metrics/utils.py:66`` (BB scan)."""
+    from .metrics.batch_find import bb_scan_core, reference_cutoffs
+
+    cents = _filled_centroid_batch_jit(arrs, thrs, mode=mode)
+    top, bottom, left, right = win
+    w = arrs[:, top:bottom, left:right].astype(jnp.float32)
+    wmin = w.min(axis=(1, 2), keepdims=True)
+    wmax = w.max(axis=(1, 2), keepdims=True)
+    if invert_bb:
+        w = (wmax + wmin) - w
+    # stretch(min=0, max=1): constant windows yield an all-zero window
+    # (threshold masks all-False -> "not found", same as the host path)
+    w = (w - w.min(axis=(1, 2), keepdims=True)) / jnp.maximum(wmax - wmin, 1e-30)
+    cutoffs = jnp.asarray(reference_cutoffs())      # traced constant
+    bb = bb_scan_core(w, cutoffs, K=K, dpmm=dpmm, bb_radius_mm=bb_radius_mm,
+                      tolerance_mm=tolerance_mm)
+    return jnp.concatenate([cents, bb], axis=1)
+
+
 class WLBaseImage(image.LinacDicomImage):
     """Base WL image: find field CAX(s) and BB(s), match to nominal
     (reference ``:629``)."""
@@ -882,10 +919,12 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
         if self.is_from_cbct:
             low_density_bb = True
             open_field = True
-        if not open_field:
-            self._batch_field_centroids()
-        self._batch_bb_centroids(bb_size_mm=bb_size_mm,
-                                 low_density=low_density_bb)
+        if not (not open_field
+                and self._batch_detect(bb_size_mm, low_density_bb)):
+            if not open_field:
+                self._batch_field_centroids()
+            self._batch_bb_centroids(bb_size_mm=bb_size_mm,
+                                     low_density=low_density_bb)
         for img in self.images:
             img.analyze(bb_size_mm=bb_size_mm, low_density_bb=low_density_bb,
                         open_field=open_field, snap_tolerance=snap_tolerance,
@@ -919,7 +958,15 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
         """Pre-pass: preprocess every image (host numpy) then compute ALL
         field centroids in one fused device dispatch per shape group — the
         per-image dispatch round trips dominate WL latency on a tunneled
-        device. Per-image results are identical to the sequential path."""
+        device.
+
+        The batch default fills the threshold mask with the 4-directional
+        convex crossing test (:func:`_convex_fill_centroids`), which equals
+        the sequential path's exact ``fill_holes`` for convex masks — a
+        radiation field is a (possibly rotated) rectangle, so this holds for
+        every supported field shape; ``PYLINAC_TPU_FLOOD=xla`` selects the
+        exact fill for pathological non-convex masks
+        (parity bound: ``tests/ops/test_label_batch.py``)."""
         self._ensure_preprocessed()
         staged = getattr(self, "_field_stage_cache", None)
         if staged is None:
@@ -955,6 +1002,82 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
                 img.ground()
                 img.normalize()
                 img._wl_preprocessed = True
+
+    def _batch_detect(self, bb_size_mm: float, low_density: bool) -> bool:
+        """The fully fused detection pre-pass: field centroids + BB scan for
+        the whole image set in ONE device dispatch and ONE packed fetch
+        (:func:`_wl_detect_packed`). Returns False when the session isn't
+        fusable — custom detection conditions, mixed dpmm, or mixed frame
+        shapes — and the caller falls back to the two separate pre-passes.
+        Results are identical to those pre-passes (same kernels, composed)."""
+        import math as _math
+        import os
+
+        default = WLBaseImage.detection_conditions
+        if any(list(img.detection_conditions) != list(default)
+               for img in self.images):
+            return False
+        dpmms = {round(float(img.dpmm), 6) for img in self.images}
+        if len(dpmms) != 1:
+            return False
+        self._ensure_preprocessed()
+        shapes = {tuple(img.array.shape) for img in self.images}
+        if len(shapes) != 1:
+            return False
+        cache_key = (round(float(bb_size_mm), 6), bool(low_density))
+        cached = getattr(self, "_bb_scan_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            # BB detections are cached; only the field half needs a pass
+            for img, pts in zip(self.images, cached[1]):
+                img._precomputed_bb_points = pts
+            self._batch_field_centroids()
+            return True
+        # stage the (B, H, W) preprocessed stack + field thresholds once
+        # (shared with _batch_field_centroids' cache format)
+        staged = getattr(self, "_field_stage_cache", None)
+        if staged is None:
+            arrs, thrs = [], []
+            for img in self.images:
+                vmin, vmax = np.percentile(img.array, [5, 99.9])
+                arrs.append(np.asarray(img.array, np.float32))
+                thrs.append((vmax - vmin) / 2 + vmin)
+            staged = [(list(self.images), jnp.asarray(np.stack(arrs)),
+                       jnp.asarray(thrs, jnp.float32))]
+            self._field_stage_cache = staged
+        if len(staged) != 1 or len(staged[0][0]) != len(self.images):
+            return False
+        _, stackdev, thrsdev = staged[0]
+        H, W = stackdev.shape[1:]
+        dpmm = float(self.images[0].dpmm)
+        # window geometry mirrors SizedDiskRegion.calculate
+        # (from_center_physical with expected position (0, 0))
+        sw = (40 + bb_size_mm) * dpmm
+        left = max(_math.floor(W / 2 - sw / 2), 0)
+        right = min(_math.ceil(W / 2 + sw / 2), W)
+        top = max(_math.floor(H / 2 - sw / 2), 0)
+        bottom = min(_math.ceil(H / 2 + sw / 2), H)
+        K = 24
+        tol_mm = self.images[0]._calculate_bb_tolerance(bb_size_mm)
+        packed = np.asarray(_wl_detect_packed(
+            stackdev, thrsdev, win=(top, bottom, left, right), K=K,
+            dpmm=dpmm, bb_radius_mm=float(bb_size_mm) / 2,
+            tolerance_mm=float(tol_mm), invert_bb=not low_density,
+            mode=os.environ.get("PYLINAC_TPU_FLOOD", "")))
+        all_pts = []
+        for img, row in zip(self.images, packed):
+            img._precomputed_field_centroid = Point(x=float(row[1]),
+                                                    y=float(row[0]))
+            bb = row[2:]
+            kept = bb[1:1 + K].astype(bool)
+            wr = bb[1 + K:1 + 2 * K]
+            wc = bb[1 + 2 * K:1 + 3 * K]
+            pts = ([Point(x=float(c) + left, y=float(r) + top)
+                    for r, c, k in zip(wr, wc, kept) if k]
+                   if bool(bb[0]) else [])
+            img._precomputed_bb_points = pts
+            all_pts.append(pts)
+        self._bb_scan_cache = (cache_key, all_pts)
+        return True
 
     def _batch_bb_centroids(self, bb_size_mm: float, low_density: bool) -> None:
         """Pre-pass: the windowed multi-threshold BB search for ALL images in
