@@ -1984,7 +1984,12 @@ class CatPhanBatch:
         if not self.cts:
             raise ValueError("No scans were provided")
 
-    def analyze(self, **analyze_kwargs) -> None:
+    def analyze(self, mesh=None, **analyze_kwargs) -> None:
+        """``mesh``: an optional :class:`jax.sharding.Mesh` with a ``data``
+        axis — the concatenated slice stack of every scan shards along z for
+        the localization pass
+        (:func:`pylinac_tpu.parallel.mesh.sharded_stack_phantom_regions`);
+        per-slice results match the single-device path."""
         staged = []
         for ct in self.cts:
             st = ct._loc_stage_host()
@@ -2008,9 +2013,16 @@ class CatPhanBatch:
                 ct._loc_dev_cache = cache
             devs.append(cache[2])
         K = 32
-        packed, max_edges = _stack_phantom_regions(
-            jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders, ds,
-            self.cts[0].clip_in_localization)
+        if mesh is not None:
+            from .parallel.mesh import sharded_stack_phantom_regions
+
+            packed, max_edges = sharded_stack_phantom_regions(
+                jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
+                ds, self.cts[0].clip_in_localization, mesh)
+        else:
+            packed, max_edges = _stack_phantom_regions(
+                jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
+                ds, self.cts[0].clip_in_localization)
         host = jlabel.regions_to_host(packed)
         max_edges = np.asarray(jnp.ravel(max_edges))
         offset = 0

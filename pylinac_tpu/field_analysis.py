@@ -695,9 +695,14 @@ class FieldAnalysisBatch:
                 normalization_method: Normalization | str = Normalization.BEAM_CENTER,
                 edge_detection_method: Edge | str = Edge.INFLECTION_DERIVATIVE,
                 edge_smoothing_ratio: float = 0.003,
-                hill_window_ratio: float = 0.15, **kwargs) -> None:
+                hill_window_ratio: float = 0.15, mesh=None, **kwargs) -> None:
         """Batch equivalent of :meth:`FieldAnalysis.analyze` (one device
-        dispatch for the whole image set)."""
+        dispatch for the whole image set).
+
+        ``mesh``: an optional :class:`jax.sharding.Mesh` with a ``data``
+        axis — the strip batch shards over it
+        (:func:`pylinac_tpu.parallel.mesh.sharded_fa_strips_batch`);
+        per-image results bit-match the single-device path."""
         import functools
 
         import jax
@@ -805,26 +810,36 @@ class FieldAnalysisBatch:
             flatness=flat_name, symmetry=sym_name, ground=ground,
             edge_smoothing_ratio=edge_smoothing_ratio,
             hill_window_ratio=hill_window_ratio)
-        # one-wire dispatch: strips + params cross the link as a single flat
-        # f32 buffer (one H2D), the whole analysis is one jitted dispatch, and
-        # the packed return is one D2H fetch — three round trips per batch
-        # total on a tunneled device (measured ~31 ms/round trip).
-        wire = np.empty(B * H + B * W + N_FA_PARAMS, np.float32)
-        wire[: B * H] = vert_strips.ravel()
-        wire[B * H: B * H + B * W] = horiz_strips.ravel()
-        wire[B * H + B * W:] = (
-            dpmm, in_field_ratio, slope_exclusion_ratio, penumbra[0],
-            penumbra[1], vert_position, horiz_position, vert_width,
-            horiz_width)
-        packed = field_analysis_wire_packed(wire, B=B, H=H, W=W, **static)
-        spec = tree_spec(
-            functools.partial(field_analysis_strips_batch, **static),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, W), jnp.float32),
-            FAParams(*(jax.ShapeDtypeStruct((), jnp.float32),) * N_FA_PARAMS),
-            cache_key=("fa-strips", (B, H), (B, W),
-                       tuple(sorted(static.items()))))
-        self._out = unpack_tree(packed, spec)
+        if mesh is not None:
+            from .parallel.mesh import sharded_fa_strips_batch
+
+            params = FAParams(*(jnp.float32(v) for v in (
+                dpmm, in_field_ratio, slope_exclusion_ratio, penumbra[0],
+                penumbra[1], vert_position, horiz_position, vert_width,
+                horiz_width)))
+            self._out = sharded_fa_strips_batch(
+                vert_strips, horiz_strips, params, mesh, **static)
+        else:
+            # one-wire dispatch: strips + params cross the link as a single
+            # flat f32 buffer (one H2D), the whole analysis is one jitted
+            # dispatch, and the packed return is one D2H fetch — three round
+            # trips per batch total on a tunneled device (~31 ms/round trip).
+            wire = np.empty(B * H + B * W + N_FA_PARAMS, np.float32)
+            wire[: B * H] = vert_strips.ravel()
+            wire[B * H: B * H + B * W] = horiz_strips.ravel()
+            wire[B * H + B * W:] = (
+                dpmm, in_field_ratio, slope_exclusion_ratio, penumbra[0],
+                penumbra[1], vert_position, horiz_position, vert_width,
+                horiz_width)
+            packed = field_analysis_wire_packed(wire, B=B, H=H, W=W, **static)
+            spec = tree_spec(
+                functools.partial(field_analysis_strips_batch, **static),
+                jax.ShapeDtypeStruct((B, H), jnp.float32),
+                jax.ShapeDtypeStruct((B, W), jnp.float32),
+                FAParams(*(jax.ShapeDtypeStruct((), jnp.float32),) * N_FA_PARAMS),
+                cache_key=("fa-strips", (B, H), (B, W),
+                           tuple(sorted(static.items()))))
+            self._out = unpack_tree(packed, spec)
         self._out["central_roi"] = {
             k: np.asarray([s[k] for s in roi_stats], np.float64)
             for k in ("mean", "std", "max", "min")}

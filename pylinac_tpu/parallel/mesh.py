@@ -249,6 +249,111 @@ def sharded_wl_centroids(images: jnp.ndarray, mesh: Mesh,
     return jax.jit(_run)(sharded)
 
 
+# --------------------------------------------------------------------------
+# Product-API sharding: the *Batch classes delegate here when analyze() is
+# given a mesh. Each helper pads the batch axis to a device multiple, runs
+# the IDENTICAL per-image product kernel shard-locally, packs the result
+# tree on device (one D2H fetch), and drops the padded rows — per-image
+# results bit-match the single-device batch path.
+# --------------------------------------------------------------------------
+def _pad_batch(images: jnp.ndarray, n: int) -> tuple[jnp.ndarray, int]:
+    B = images.shape[0]
+    pad = (-B) % n
+    if pad:
+        reps = -(-pad // B)  # pad can exceed B (e.g. 3 images on 8 devices)
+        filler = jnp.concatenate([images] * reps, axis=0)[:pad]
+        images = jnp.concatenate([images, filler], axis=0)
+    return images, B
+
+
+def sharded_pf_batch(images: jnp.ndarray, cfg, params, mesh: Mesh,
+                     **static) -> dict:
+    """:class:`~pylinac_tpu.picketfence.PicketFenceBatch`'s fused pipeline
+    data-parallel over ``mesh`` (reference per-image loop:
+    ``/root/reference/pylinac/picketfence.py:636``)."""
+    from ..ops.pack import pack_tree, tree_spec, unpack_tree
+    from ..ops.picket_pipeline import picket_fence_batch
+
+    n = mesh.devices.size
+    padded, B = _pad_batch(images, n)
+    static = dict(static)
+    static["chunk"] = max(1, min(static.get("chunk", 32),
+                                 padded.shape[0] // n))
+
+    run = shard_map(
+        lambda im, c, p: picket_fence_batch(im, c, p, **static),
+        mesh=mesh, in_specs=(P("data"), P(), P()), out_specs=P("data"))
+    packed_fn = jax.jit(lambda im, c, p: pack_tree(run(im, c, p)))
+    sharded = jax.device_put(padded, NamedSharding(mesh, P("data")))
+    packed = packed_fn(sharded, cfg, params)
+    spec = tree_spec(
+        functools.partial(picket_fence_batch, **static),
+        jax.ShapeDtypeStruct(padded.shape, padded.dtype), cfg, params,
+        cache_key=("pf-sharded", padded.shape, str(padded.dtype),
+                   cfg.tops.shape, n, tuple(sorted(static.items()))))
+    out = unpack_tree(np.asarray(packed), spec)
+    return jax.tree_util.tree_map(lambda x: x[:B], out)
+
+
+def sharded_fa_strips_batch(vert_strips: np.ndarray, horiz_strips: np.ndarray,
+                            params, mesh: Mesh, **static) -> dict:
+    """:class:`~pylinac_tpu.field_analysis.FieldAnalysisBatch`'s fused strip
+    pipeline data-parallel over ``mesh`` (reference per-image loop:
+    ``/root/reference/pylinac/field_analysis.py:565``)."""
+    from ..ops.field_pipeline import field_analysis_strips_batch
+    from ..ops.pack import pack_tree, tree_spec, unpack_tree
+
+    n = mesh.devices.size
+    vert, B = _pad_batch(jnp.asarray(vert_strips, jnp.float32), n)
+    horiz, _ = _pad_batch(jnp.asarray(horiz_strips, jnp.float32), n)
+
+    run = shard_map(
+        lambda v, hz, p: field_analysis_strips_batch(v, hz, p, **static),
+        mesh=mesh, in_specs=(P("data"), P("data"), P()),
+        out_specs=P("data"))
+    packed_fn = jax.jit(lambda v, hz, p: pack_tree(run(v, hz, p)))
+    shard = NamedSharding(mesh, P("data"))
+    packed = packed_fn(jax.device_put(vert, shard),
+                       jax.device_put(horiz, shard), params)
+    spec = tree_spec(
+        functools.partial(field_analysis_strips_batch, **static),
+        jax.ShapeDtypeStruct(vert.shape, jnp.float32),
+        jax.ShapeDtypeStruct(horiz.shape, jnp.float32), params,
+        cache_key=("fa-sharded", vert.shape, horiz.shape, n,
+                   tuple(sorted(static.items()))))
+    out = unpack_tree(np.asarray(packed), spec)
+    return jax.tree_util.tree_map(lambda x: x[:B], out)
+
+
+def sharded_stack_phantom_regions(volume: jnp.ndarray, K: int,
+                                  clear_borders: bool, ds: int, clip: bool,
+                                  mesh: Mesh):
+    """CatPhan's whole-stack localization pass sharded along z
+    (reference per-slice loop: ``/root/reference/pylinac/ct.py:2398``).
+    Per-slice output order matches the unsharded
+    :func:`pylinac_tpu.ct._stack_phantom_regions`; padded slices (all-zero,
+    appended at the end) are dropped before returning."""
+    from ..ct import _stack_phantom_regions
+
+    n = mesh.devices.size
+    N = volume.shape[0]
+    pad = (-N) % n
+    if pad:
+        volume = jnp.concatenate(
+            [volume, jnp.zeros((pad,) + volume.shape[1:], volume.dtype)])
+
+    run = shard_map(
+        lambda v: _stack_phantom_regions(v, K, clear_borders, ds, clip),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        # the pallas CCL branch traced by platform_dependent can't carry
+        # vma annotations; per-slice outputs are trivially varying-on-data
+        check_rep=False)
+    packed, max_edges = jax.jit(run)(
+        jax.device_put(volume, NamedSharding(mesh, P("data"))))
+    main, label_id = packed
+    return (main[:N], label_id[:N]), max_edges[:N]
+
+
 class QABatchRunner:
     """Convenience wrapper: compile once, stream QA image batches through the
     sharded REAL FieldAnalysis pipeline (one compiled program per image

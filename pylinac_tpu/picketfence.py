@@ -1015,9 +1015,16 @@ class PicketFenceBatch:
                 fwxm: int = 50, separate_leaves: bool = False,
                 nominal_gap_mm: float = 3,
                 orientation: Orientation | str | None = None,
-                w_max: int | None = None, chunk: int = 32) -> None:
+                w_max: int | None = None, chunk: int = 32,
+                mesh=None) -> None:
         """Batch equivalent of :meth:`PicketFence.analyze` (one device
-        dispatch for the whole image set)."""
+        dispatch for the whole image set).
+
+        ``mesh``: an optional :class:`jax.sharding.Mesh` with a ``data``
+        axis — the image batch shards over it and every device runs the
+        identical per-image pipeline on its shard
+        (:func:`pylinac_tpu.parallel.mesh.sharded_pf_batch`); per-image
+        results bit-match the single-device path."""
         from .ops.picket_pipeline import PFParams, picket_fence_batch
 
         if action_tolerance is not None and tolerance < action_tolerance:
@@ -1116,13 +1123,19 @@ class PicketFenceBatch:
                       separate_leaves=separate_leaves,
                       chunk=min(chunk, len(arrays)),
                       preprocess=True, extra_filter=self._extra_filter)
-        # one packed fetch: remote D2H latency is paid once, not per array
-        packed = picket_fence_batch_packed(batch, cfg, params, **static)
-        spec = tree_spec(
-            functools.partial(picket_fence_batch, **static), batch, cfg, params,
-            cache_key=("pf", batch.shape, cfg.tops.shape,
-                       tuple(sorted(static.items()))))
-        self._out = unpack_tree(packed, spec)
+        if mesh is not None:
+            from .parallel.mesh import sharded_pf_batch
+
+            self._out = sharded_pf_batch(batch, cfg, params, mesh, **static)
+        else:
+            # one packed fetch: remote D2H latency is paid once, not per array
+            packed = picket_fence_batch_packed(batch, cfg, params, **static)
+            spec = tree_spec(
+                functools.partial(picket_fence_batch, **static), batch, cfg,
+                params,
+                cache_key=("pf", batch.shape, cfg.tops.shape,
+                           tuple(sorted(static.items()))))
+            self._out = unpack_tree(packed, spec)
         if not self._out["kiss_valid"].any():
             raise ValueError(
                 "No MLC measurements were found in the batch. This may be due to "

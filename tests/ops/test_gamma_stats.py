@@ -4,6 +4,7 @@ algorithms as oracle) and NPS/threshold kernels."""
 import math
 
 import numpy as np
+import pytest
 import scipy.ndimage as ndi
 
 import jax.numpy as jnp
@@ -224,3 +225,45 @@ def test_gamma2d_pallas_interpret_matches_xla():
                                          threshold_n=0.05, fill=np.nan,
                                          interpret=True))
         np.testing.assert_allclose(got2, want2, rtol=0, atol=2e-6, equal_nan=True)
+
+
+class TestPercentileExact:
+    """Sort-free order statistics must equal numpy exactly (PF's despike
+    decision consumes these; ops/stats.py percentile_exact)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_numpy_mixed_signs(self, seed):
+        import jax
+
+        from pylinac_tpu.ops.stats import order_statistics, percentile_exact
+
+        rng = np.random.default_rng(seed)
+        vals = np.concatenate([
+            rng.normal(-50, 30, 4001).astype(np.float32),
+            rng.normal(1000, 200, 3000).astype(np.float32),
+            np.zeros(17, np.float32),          # ties at zero
+            np.repeat(np.float32(3.25), 9),    # ties at a positive value
+        ])
+        rng.shuffle(vals)
+        qs = (0.5, 25.0, 50.0, 99.5)
+        got = np.asarray(percentile_exact(jnp.asarray(vals), qs))
+        want = np.percentile(vals.astype(np.float64), qs)
+        assert np.allclose(got, want, rtol=0, atol=2e-3), (got, want)
+        # raw order stats are exact (bit-identical), not just close
+        s = np.sort(vals)
+        ks = [0, 1, 100, len(vals) // 2, len(vals) - 1]
+        got_os = np.asarray(order_statistics(jnp.asarray(vals), ks))
+        assert np.array_equal(got_os, s[ks])
+
+    def test_vmaps_over_batch(self):
+        import jax
+
+        from pylinac_tpu.ops.stats import percentile_exact
+
+        rng = np.random.default_rng(3)
+        batch = rng.normal(0, 10, (4, 64, 64)).astype(np.float32)
+        got = np.asarray(jax.vmap(
+            lambda im: percentile_exact(im, (0.5, 99.5)))(jnp.asarray(batch)))
+        for i in range(4):
+            want = np.percentile(batch[i].astype(np.float64), (0.5, 99.5))
+            assert np.allclose(got[i], want, atol=2e-3)
