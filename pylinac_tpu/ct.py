@@ -39,6 +39,7 @@ from .core.utilities import QuaacDatum, QuaacMixin, ResultBase, ResultsDataMixin
 from .core.warnings import capture_warnings
 from .core.image import z_position
 from .ops import label as jlabel
+from .ops import label_native
 from .ops.filters import gaussian_filter, scharr
 from .ops.threshold import otsu_threshold
 from .metrics.utils import RegionView
@@ -180,14 +181,23 @@ class ThicknessROI(RectangleROI):
 # --------------------------------------------------------------------------
 # Region finding (device kernels)
 # --------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("K", "use_disk", "use_otsu",
-                                             "scale08", "clear_borders",
-                                             "minmax"))
-def _regions_fused(arr, cy, cx, radius, K: int, use_disk: bool,
-                   use_otsu: bool, scale08: bool, clear_borders: bool,
-                   minmax: bool):
-    """One-dispatch Scharr→threshold→regionprops for a single slice
-    (the eager op-by-op form paid one tunnel round trip per step)."""
+def _use_native_ccl() -> bool:
+    """Route host-consumed region extraction through the C++ CCL backend
+    (ONE bit-packed fetch + exact union-find) unless the A/B knob pins a
+    device backend. The sharded multi-chip localization keeps the device
+    path regardless (its regions reduce across the mesh)."""
+    import os
+
+    if os.environ.get("PYLINAC_TPU_CCL") in ("xla", "pallas"):
+        return False
+    return label_native.available()
+
+
+def _edges_and_mask(arr, cy, cx, radius, use_disk: bool, use_otsu: bool,
+                    scale08: bool):
+    """The mask stage shared by every region-extraction backend — MUST stay
+    bit-identical across routes (Scharr→Gaussian→threshold, reference
+    ``ct.py:3315``)."""
     edges = gaussian_filter(scharr(arr.astype(jnp.float32)), 1.0)
     if use_disk:
         h, w = arr.shape
@@ -203,7 +213,53 @@ def _regions_fused(arr, cy, cx, radius, K: int, use_disk: bool,
         thres = otsu_threshold(edges) if use_otsu else jnp.mean(edges)
     if scale08:
         thres = thres * 0.8
-    bw = edges > thres
+    return edges > thres, edges
+
+
+@functools.partial(jax.jit, static_argnames=("use_disk", "use_otsu",
+                                             "scale08", "want_edges"))
+def _mask_pack_batch(arrs, cy, cx, radius, use_disk: bool, use_otsu: bool,
+                     scale08: bool, want_edges: bool):
+    """Batched mask stage → ONE flat float32 wire buffer for the native CCL
+    backend: [bit-packed mask halfwords..., edge image (optional)]."""
+    bw, edges = jax.vmap(
+        lambda a: _edges_and_mask(a, cy, cx, radius, use_disk, use_otsu,
+                                  scale08))(arrs)
+    packed = label_native.pack_mask16(bw)
+    if want_edges:
+        return jnp.concatenate([packed.ravel(), edges.ravel()])
+    return packed.ravel()
+
+
+def _native_region_rows(arrs: np.ndarray, centers_yx, radius,
+                        threshold: str, scale08: bool,
+                        want_edges: bool) -> tuple[jlabel.Regions, np.ndarray]:
+    """Device mask stage + one fetch + C++ CCL for a host array batch.
+    Returns ((B, K) Regions on host, n_regions)."""
+    b, h, w = arrs.shape
+    use_disk = centers_yx is not None
+    cy, cx = centers_yx if use_disk else (0.0, 0.0)
+    dev = jnp.asarray(np.ascontiguousarray(arrs, np.float32))
+    flat = np.asarray(_mask_pack_batch(
+        dev, jnp.float32(cy), jnp.float32(cx), jnp.float32(radius),
+        use_disk, threshold == "otsu", scale08, want_edges))
+    ww = label_native.packed_width(w)
+    nbits = b * h * ww
+    bits = flat[:nbits].reshape(b, h, ww)
+    edges = flat[nbits:].reshape(b, h, w) if want_edges else None
+    return label_native.regions_from_packed(bits, w, edges, connectivity=2)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "use_disk", "use_otsu",
+                                             "scale08", "clear_borders",
+                                             "minmax"))
+def _regions_fused(arr, cy, cx, radius, K: int, use_disk: bool,
+                   use_otsu: bool, scale08: bool, clear_borders: bool,
+                   minmax: bool):
+    """One-dispatch Scharr→threshold→regionprops for a single slice
+    (the eager op-by-op form paid one tunnel round trip per step)."""
+    bw, edges = _edges_and_mask(arr, cy, cx, radius, use_disk, use_otsu,
+                                scale08)
     regions = jlabel.regionprops(bw, edges, K=K, connectivity=2, hull=False,
                                  minmax=minmax)
     if clear_borders:
@@ -232,6 +288,15 @@ def get_regions(slice_or_arr, fill_holes: bool = False, clear_borders: bool = Tr
         use_disk = False
         radius = 0.0
         scale08 = False
+    if _use_native_ccl():
+        host, _n = _native_region_rows(
+            np.asarray(arr, np.float32)[None],
+            (float(center.y), float(center.x)) if use_disk else None,
+            radius, threshold, scale08, want_edges=True)
+        row = jlabel.Regions(*[f[0] for f in host])
+        keep = row.valid & ~row.touches_border if clear_borders else row.valid
+        views = [RegionView(row, i) for i in np.nonzero(keep)[0]]
+        return None, views, len(views)
     dev = jnp.asarray(np.asarray(arr, np.float32))
     # escalate K when the fixed slots fill up (more regions than slots means
     # silent truncation that drops regions by position)
@@ -292,12 +357,28 @@ def _regions_fused_batch(arrs, cy, cx, radius, K: int, use_disk: bool,
 def get_regions_batch(arrs: np.ndarray, centers_yx: tuple[float, float] | None,
                       radius: float, threshold: str = "otsu",
                       scale08: bool = False, clear_borders: bool = True,
-                      minmax: bool = True) -> list[list[RegionView]] | None:
+                      minmax: bool = True,
+                      want_intensity: bool = True) -> list[list[RegionView]] | None:
     """Batched :func:`get_regions` over same-shape arrays — one device
     dispatch + one fetch for the whole batch.  ``centers_yx`` enables the
     disk-masked threshold (the :class:`Slice` branch of get_regions).
     Returns per-array RegionView lists, or None when any array's regions
-    overflow the K slots (caller falls back to the per-array path)."""
+    overflow the K slots (caller falls back to the per-array path).
+    ``want_intensity=False`` skips the edge-image fetch on the native route
+    (callers that read no intensity-weighted properties, e.g. the roll
+    pre-pass)."""
+    if _use_native_ccl():
+        host, _n = _native_region_rows(
+            np.stack(arrs).astype(np.float32), centers_yx, radius,
+            threshold, scale08, want_edges=want_intensity)
+        out = []
+        for i in range(len(arrs)):
+            keep = host.valid[i]
+            if clear_borders:
+                keep = keep & ~host.touches_border[i]
+            row = jlabel.Regions(*[f[i] for f in host])
+            out.append([RegionView(row, j) for j in np.nonzero(keep)[0]])
+        return out
     dev = jnp.asarray(np.stack(arrs).astype(np.float32))
     use_disk = centers_yx is not None
     cy, cx = centers_yx if use_disk else (0.0, 0.0)
@@ -319,6 +400,44 @@ def get_regions_batch(arrs: np.ndarray, centers_yx: tuple[float, float] | None,
         row = jlabel.Regions(*[f[i] for f in host])
         out.append([RegionView(row, j) for j in np.nonzero(keep)[0]])
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("ds", "clip"))
+def _stack_mask_pack(raw_vol, ds: int, clip: bool):
+    """Native-CCL variant of :func:`_stack_phantom_regions`: the same
+    on-device pool→clip→Scharr→Otsu mask stage, but the output is ONE flat
+    float32 buffer [bit-packed masks..., per-slice edge maxima] — a single
+    fetch feeds the host C++ union-find (ops/label_native.py), replacing
+    the on-device CCL sweeps + one-hot props + 3-array fetch (~500 ms →
+    ~40 ms through the 31 ms/round-trip tunnel)."""
+    n, h, w = raw_vol.shape
+    if ds > 1:
+        vol = raw_vol.reshape(n, h // ds, ds, w // ds, ds).mean(axis=(2, 4))
+    else:
+        vol = raw_vol
+    clipped = jnp.clip(vol, -1000, 1000) if clip else vol
+    edges = jax.vmap(lambda s: gaussian_filter(scharr(s), 1.0))(clipped)
+    thres = jax.vmap(otsu_threshold)(edges)
+    bw = edges > thres[:, None, None]
+    max_edges = jax.vmap(lambda s: jnp.max(scharr(s)))(vol)
+    return jnp.concatenate([label_native.pack_mask16(bw).ravel(), max_edges])
+
+
+def _stack_regions_native(vol_dev, ds: int, clip: bool, clear_borders: bool):
+    """Run the stack localization through the native backend. Returns
+    ((N, K) host Regions, max_edges (N,))."""
+    n, h, w = vol_dev.shape
+    hp, wp = h // ds, w // ds
+    ww = label_native.packed_width(wp)
+    flat = np.asarray(_stack_mask_pack(vol_dev, ds, clip))
+    nbits = n * hp * ww
+    bits = flat[:nbits].reshape(n, hp, ww)
+    max_edges = flat[nbits:]
+    host, _n = label_native.regions_from_packed(bits, wp, None,
+                                                connectivity=2)
+    if clear_borders:
+        host = host._replace(valid=host.valid & ~host.touches_border)
+    return host, max_edges
 
 
 @functools.partial(jax.jit, static_argnames=("K", "clear_borders", "ds", "clip"))
@@ -1323,6 +1442,12 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
             cache = (ds, vol.shape[0], jnp.asarray(vol))
             self._loc_dev_cache = cache
         ds, n_slices, vol_dev = cache
+        if _use_native_ccl():
+            host, max_edges = _stack_regions_native(
+                vol_dev, ds, self.clip_in_localization, self.clear_borders)
+            return self._centroids_from_host(
+                host, max_edges, ds, range(n_slices),
+                K=host.valid.shape[-1] + 1)  # native K never truncates
         K = 32
         packed, max_edges = _stack_phantom_regions(
             vol_dev, K, self.clear_borders, ds, self.clip_in_localization)
@@ -2019,12 +2144,19 @@ class CatPhanBatch:
             packed, max_edges = sharded_stack_phantom_regions(
                 jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
                 ds, self.cts[0].clip_in_localization, mesh)
+            host = jlabel.regions_to_host(packed)
+            max_edges = np.asarray(jnp.ravel(max_edges))
+        elif _use_native_ccl():
+            host, max_edges = _stack_regions_native(
+                jnp.concatenate(devs, axis=0), ds,
+                self.cts[0].clip_in_localization, self.cts[0].clear_borders)
+            K = host.valid.shape[-1] + 1  # native K never truncates
         else:
             packed, max_edges = _stack_phantom_regions(
                 jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
                 ds, self.cts[0].clip_in_localization)
-        host = jlabel.regions_to_host(packed)
-        max_edges = np.asarray(jnp.ravel(max_edges))
+            host = jlabel.regions_to_host(packed)
+            max_edges = np.asarray(jnp.ravel(max_edges))
         offset = 0
         for ct, n in zip(self.cts, counts):
             ct._slice_centroids = ct._centroids_from_host(
@@ -2072,7 +2204,7 @@ class CatPhanBatch:
         radius = 110 / slcs[0][1].mm_per_pixel
         views = get_regions_batch(arrs, (float(center.y), float(center.x)),
                                   radius, scale08=True, clear_borders=True,
-                                  minmax=False)
+                                  minmax=False, want_intensity=False)
         if views is None:
             return  # K overflow: per-scan escalation path
         for ct, (slice_num, _), v in zip(self.cts, slcs, views):
