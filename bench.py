@@ -642,9 +642,6 @@ class GammaConfig:
 
     def setup(self):
         import jax
-        import jax.numpy as jnp
-
-        from pylinac_tpu.ops.gamma import gamma_2d
 
         rng = np.random.default_rng(0)
         yy, xx = np.mgrid[:self.H, :self.W].astype(np.float32)
@@ -666,28 +663,19 @@ class GammaConfig:
             refs[i] = np.clip(r, 0, 65535).astype(np.uint16)
             evals[i] = np.clip(e, 0, 65535).astype(np.uint16)
         self.refs, self.evals = refs, evals
-
-        cfg = self
-
-        @jax.jit
-        def _batched(r_u16, e_u16):
-            def one(r, e):
-                return gamma_2d(r.astype(jnp.float32), e.astype(jnp.float32),
-                                dose_to_agreement=cfg.DOSE_TA,
-                                distance_to_agreement=cfg.DTA,
-                                gamma_cap_value=cfg.CAP, global_dose=True,
-                                dose_threshold=cfg.THRESH)
-            return jax.vmap(one)(r_u16, e_u16)
-
-        self._batched = _batched
         self._jax = jax
 
     def run_tpu(self):
-        jax = self._jax
-        r = jax.device_put(self.refs)
-        e = jax.device_put(self.evals)
-        out = self._batched(r, e)
-        jax.block_until_ready(out)
+        from pylinac_tpu.ops.gamma import gamma_2d_batch
+
+        # the product batch entry: chunked staging of the fresh u16 frames
+        # + ONE dispatch for the whole batch
+        out = gamma_2d_batch(self.refs, self.evals,
+                             dose_to_agreement=self.DOSE_TA,
+                             distance_to_agreement=self.DTA,
+                             gamma_cap_value=self.CAP, global_dose=True,
+                             dose_threshold=self.THRESH)
+        self._jax.block_until_ready(out)
         self._last = out
         return out
 

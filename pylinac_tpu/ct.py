@@ -13,6 +13,7 @@ TPU-native notes:
 
 from __future__ import annotations
 
+import os
 import textwrap
 import warnings
 import zipfile
@@ -40,6 +41,7 @@ from .core.warnings import capture_warnings
 from .core.image import z_position
 from .ops import label as jlabel
 from .ops import label_native
+from .ops import route
 from .ops.filters import gaussian_filter, scharr
 from .ops.threshold import otsu_threshold
 from .metrics.utils import RegionView
@@ -231,6 +233,15 @@ def _mask_pack_batch(arrs, cy, cx, radius, use_disk: bool, use_otsu: bool,
     return packed.ravel()
 
 
+# Mask batches at or below this element count run on the in-process CPU
+# backend (same jitted kernel, microsecond dispatch) instead of the
+# accelerator: below ~3M elems the tunnel round trip (~31 ms) plus the
+# fetch exceeds the host's ~6 ms/MB mask-stage cost (measured, see
+# PERF_BUDGET.json). Large batches (whole-stack localization) amortize the
+# round trip and stay on the accelerator.
+_HOST_MASK_ELEMS = int(os.environ.get("PYLINAC_TPU_HOST_MASK_ELEMS", 3_000_000))
+
+
 def _native_region_rows(arrs: np.ndarray, centers_yx, radius,
                         threshold: str, scale08: bool,
                         want_edges: bool) -> tuple[jlabel.Regions, np.ndarray]:
@@ -239,9 +250,10 @@ def _native_region_rows(arrs: np.ndarray, centers_yx, radius,
     b, h, w = arrs.shape
     use_disk = centers_yx is not None
     cy, cx = centers_yx if use_disk else (0.0, 0.0)
-    dev = jnp.asarray(np.ascontiguousarray(arrs, np.float32))
+    dev = route.put(np.ascontiguousarray(arrs, np.float32),
+                    small=arrs.size <= _HOST_MASK_ELEMS)
     flat = np.asarray(_mask_pack_batch(
-        dev, jnp.float32(cy), jnp.float32(cx), jnp.float32(radius),
+        dev, np.float32(cy), np.float32(cx), np.float32(radius),
         use_disk, threshold == "otsu", scale08, want_edges))
     ww = label_native.packed_width(w)
     nbits = b * h * ww
@@ -1439,7 +1451,8 @@ class CatPhanBase(ResultsDataMixin[CatphanResult], QuaacMixin):
             # device-resident across analyze() calls of this object: the
             # stack + H2D staging is paid once per loaded scan; the
             # localization mean-pool and HU clip run on device
-            cache = (ds, vol.shape[0], jnp.asarray(vol))
+            from .ops.staging import stage
+            cache = (ds, vol.shape[0], stage(vol))
             self._loc_dev_cache = cache
         ds, n_slices, vol_dev = cache
         if _use_native_ccl():
@@ -2134,7 +2147,8 @@ class CatPhanBatch:
         for ct, st in zip(self.cts, staged):
             cache = getattr(ct, "_loc_dev_cache", None)
             if cache is None:
-                cache = (st[0], st[1].shape[0], jnp.asarray(st[1]))
+                from .ops.staging import stage
+                cache = (st[0], st[1].shape[0], stage(st[1]))
                 ct._loc_dev_cache = cache
             devs.append(cache[2])
         K = 32

@@ -96,6 +96,66 @@ def gamma_2d(
     return xla_form((ref_n, eval_p))
 
 
+def gamma_2d_batch(
+    references,
+    evaluations,
+    dose_to_agreement: float = 1.0,
+    distance_to_agreement: int = 1,
+    gamma_cap_value: float = 2.0,
+    global_dose: bool = True,
+    dose_threshold: float = 5.0,
+    fill_value: float = jnp.nan,
+    mesh=None,
+) -> jnp.ndarray:
+    """Batched 2D gamma over (B, H, W) reference/evaluation pairs.
+
+    The product entry for gamma at batch scale: host arrays are staged in
+    link-friendly chunks (:mod:`pylinac_tpu.ops.staging` — a single 48 MB
+    ``device_put`` runs at ~1/4 of the tunnel's small-transfer rate), the
+    native dtype rides the wire (u16 halves the bytes; conversion happens
+    on device), and the whole batch computes in ONE dispatch.
+    ``mesh``: optional :class:`jax.sharding.Mesh` with a ``data`` axis to
+    shard the batch across devices
+    (:func:`pylinac_tpu.parallel.mesh.sharded_gamma_2d`).
+    Per-pair semantics match :func:`gamma_2d` (reference
+    ``core/gamma.py:229``).
+    """
+    from .staging import stage
+
+    if mesh is not None:
+        from ..parallel.mesh import sharded_gamma_2d
+
+        return sharded_gamma_2d(
+            references, evaluations, mesh,
+            dose_to_agreement=dose_to_agreement,
+            distance_to_agreement=distance_to_agreement,
+            gamma_cap_value=gamma_cap_value, global_dose=global_dose,
+            dose_threshold=dose_threshold, fill_value=fill_value)
+    refs = stage(references)
+    evals = stage(evaluations)
+    return _gamma_2d_batch_jit(
+        refs, evals, dose_to_agreement, distance_to_agreement,
+        gamma_cap_value, global_dose, dose_threshold, fill_value)
+
+
+# cap/threshold/fill stay traced (the pallas kernel reads them from SMEM;
+# a static NaN fill would defeat the jit cache since nan != nan)
+@functools.partial(jax.jit, static_argnums=(3, 5))
+def _gamma_2d_batch_jit(refs, evals, dose_to_agreement,
+                        distance_to_agreement, gamma_cap_value, global_dose,
+                        dose_threshold, fill_value):
+    def one(r, e):
+        return gamma_2d(r.astype(jnp.float32), e.astype(jnp.float32),
+                        dose_to_agreement=dose_to_agreement,
+                        distance_to_agreement=distance_to_agreement,
+                        gamma_cap_value=gamma_cap_value,
+                        global_dose=global_dose,
+                        dose_threshold=dose_threshold,
+                        fill_value=fill_value)
+
+    return jax.vmap(one)(refs, evals)
+
+
 def _interp_extrap(x, xp, fp):
     """Linear interpolation with linear extrapolation beyond the ends
     (scipy interp1d fill_value='extrapolate' semantics)."""

@@ -1089,7 +1089,8 @@ class PicketFenceBatch:
             stacked = np.stack(arrays)
             if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
                 stacked = stacked.astype(np.float32)
-            staged = (stage_key, jnp.asarray(stacked))
+            from .ops.staging import stage
+            staged = (stage_key, stage(stacked))
             self._stage_cache = staged
         batch = staged[1]
         # device-resident params cache: 8 eager jnp scalar creations are 8

@@ -104,3 +104,89 @@ def device_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@dataclass
+class DispatchCounts:
+    """Executable launches and host↔device transfers, keyed by platform.
+
+    On a tunneled accelerator each non-CPU entry costs a network round trip
+    (~31 ms measured in PERF_BUDGET.json), so ``dispatches`` is the number
+    that must stay at 1–2 per batch ``analyze()``; the in-process ``cpu``
+    backend dispatches in microseconds and is free to stay chatty.
+    """
+
+    dispatches: dict[str, int] = field(default_factory=dict)
+    transfers: dict[str, int] = field(default_factory=dict)
+
+    def add(self, kind: str, platform: str) -> None:
+        d = self.dispatches if kind == "dispatch" else self.transfers
+        d[platform] = d.get(platform, 0) + 1
+
+    def accelerator_dispatches(self) -> int:
+        return sum(n for p, n in self.dispatches.items() if p != "cpu")
+
+    def as_dict(self) -> dict:
+        return {"dispatches": dict(self.dispatches),
+                "transfers": dict(self.transfers)}
+
+
+_dispatch_active: list[DispatchCounts] = []
+_dispatch_patched = False
+
+
+def _install_dispatch_hooks() -> None:
+    global _dispatch_patched
+    if _dispatch_patched:
+        return
+    import jax
+    from jax._src.interpreters import pxla
+
+    orig_call = pxla.ExecuteReplicated.__call__
+
+    def counting_call(self, *args):
+        if _dispatch_active:
+            try:
+                platform = self.backend.platform
+            except Exception:
+                platform = "?"
+            for c in _dispatch_active:
+                c.add("dispatch", platform)
+        return orig_call(self, *args)
+
+    pxla.ExecuteReplicated.__call__ = counting_call
+
+    orig_put = jax.device_put
+
+    def counting_put(x, device=None, *a, **k):
+        if _dispatch_active:
+            try:
+                platform = (device.platform if device is not None
+                            else jax.default_backend())
+            except Exception:
+                platform = "?"
+            for c in _dispatch_active:
+                c.add("transfer", platform)
+        return orig_put(x, device, *a, **k)
+
+    jax.device_put = counting_put
+    _dispatch_patched = True
+
+
+@contextlib.contextmanager
+def count_dispatches():
+    """Count executable launches + ``device_put`` transfers per platform.
+
+    Yields a :class:`DispatchCounts`. Counts compiled-function launches on
+    every backend (the jit C++ fastpath is bypassed while a counter is
+    active only for the first call per shape — steady-state launches still
+    route through ``ExecuteReplicated``). Intended for perf budgeting
+    (``scripts/perf_budget.py``), not hot paths.
+    """
+    _install_dispatch_hooks()
+    counts = DispatchCounts()
+    _dispatch_active.append(counts)
+    try:
+        yield counts
+    finally:
+        _dispatch_active.remove(counts)

@@ -477,7 +477,8 @@ class StarshotBatch:
             stacked = np.stack([np.asarray(im.array) for im in self.images])
             if stacked.dtype.kind == "f" and stacked.dtype.itemsize > 4:
                 stacked = stacked.astype(np.float32)
-            staged = (stacked.shape, jnp.asarray(stacked))
+            from .ops.staging import stage
+            staged = (stacked.shape, stage(stacked))
             self._stage_cache = staged
         stacked = staged[1]
         # size the angular grid from the shared image geometry. The image

@@ -983,7 +983,8 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
                     vmin, vmax = np.percentile(img.array, [5, 99.9])
                     arrs.append(np.asarray(img.array, np.float32))
                     thrs.append((vmax - vmin) / 2 + vmin)
-                staged.append((shaped, jnp.asarray(np.stack(arrs)),
+                from .ops.staging import stage
+                staged.append((shaped, stage(np.stack(arrs)),
                                jnp.asarray(thrs, jnp.float32)))
             self._field_stage_cache = staged
         for shaped, stackdev, thrsdev in staged:
@@ -1041,7 +1042,8 @@ class WinstonLutz(ResultsDataMixin[WinstonLutzResult], QuaacMixin):
                 vmin, vmax = np.percentile(img.array, [5, 99.9])
                 arrs.append(np.asarray(img.array, np.float32))
                 thrs.append((vmax - vmin) / 2 + vmin)
-            staged = [(list(self.images), jnp.asarray(np.stack(arrs)),
+            from .ops.staging import stage
+            staged = [(list(self.images), stage(np.stack(arrs)),
                        jnp.asarray(thrs, jnp.float32))]
             self._field_stage_cache = staged
         if len(staged) != 1 or len(staged[0][0]) != len(self.images):
