@@ -168,8 +168,9 @@ class ThicknessROI(RectangleROI):
 
         # small-array CPU routing: a lone wire-ramp blur is a ~30 ms tunnel
         # round trip on a remote chip but microseconds in-process
-        arr = np.asarray(_gf(route.put(np.asarray(self.pixel_array, np.float32)), 1.0))
-        return FWXMProfile(values=arr.max(axis=int(np.argmin(arr.shape))))
+        with profiling.stage("ctp404.thickness_profile"):
+            arr = np.asarray(_gf(route.put(np.asarray(self.pixel_array, np.float32)), 1.0))
+            return FWXMProfile(values=arr.max(axis=int(np.argmin(arr.shape))))
 
     @cached_property
     def wire_fwhm(self) -> float:
@@ -620,11 +621,14 @@ class CatPhanModule(Slice):
 
         self.roi_settings = _copy.deepcopy(self.roi_settings)
         self.background_roi_settings = _copy.deepcopy(self.background_roi_settings)
-        Slice.__init__(self, catphan, combine_method=self.combine_method,
-                       num_slices=self.num_slices, clear_borders=clear_borders)
+        with profiling.stage(f"{self.attr_name}.combine"):
+            Slice.__init__(self, catphan, combine_method=self.combine_method,
+                           num_slices=self.num_slices, clear_borders=clear_borders)
         self._convert_units_in_settings()
-        self.preprocess(catphan)
-        self._setup_rois()
+        with profiling.stage(f"{self.attr_name}.preprocess"):
+            self.preprocess(catphan)
+        with profiling.stage(f"{self.attr_name}.rois"):
+            self._setup_rois()
 
     def _convert_units_in_settings(self) -> None:
         setting_groups = [getattr(self, attr) for attr in dir(self)
@@ -1022,13 +1026,14 @@ class CTP486(CatPhanModule):
         from .ops import route
         from .ops.stats import nps_bundle
 
-        rois = [r.pixel_array for r in self.nps_rois.values()]
-        length = min(min(r.shape) for r in rois)
-        stacked = np.stack([r[:length, :length] for r in rois])
-        ps2d, ps1d, avg, maxf = nps_bundle(
-            route.put(stacked.astype(np.float32)),
-            pixel_size=self.mm_per_pixel)
-        return np.asarray(ps2d), np.asarray(ps1d), float(avg), float(maxf)
+        with profiling.stage("ctp486.nps"):
+            rois = [r.pixel_array for r in self.nps_rois.values()]
+            length = min(min(r.shape) for r in rois)
+            stacked = np.stack([r[:length, :length] for r in rois])
+            ps2d, ps1d, avg, maxf = nps_bundle(
+                route.put(stacked.astype(np.float32)),
+                pixel_size=self.mm_per_pixel)
+            return np.asarray(ps2d), np.asarray(ps1d), float(avg), float(maxf)
 
     @property
     def power_spectrum_2d(self) -> np.ndarray:
@@ -1082,6 +1087,10 @@ class CTP528CP504(CTP528):
     @cached_property
     def mtf(self) -> MTF:
         """Peak/valley MTF over the line-pair regions (reference ``:1512``)."""
+        with profiling.stage("ctp528.mtf"):
+            return self._compute_mtf()
+
+    def _compute_mtf(self) -> MTF:
         maxs = []
         mins = []
         for key, value in self.roi_settings.items():
@@ -1110,13 +1119,14 @@ class CTP528CP504(CTP528):
 
     @cached_property
     def circle_profile(self) -> CollapsedCircleProfile:
-        circle_profile = CollapsedCircleProfile(
-            self.phan_center, self.radius2linepairs, image_array=self.image,
-            start_angle=self.start_angle + np.deg2rad(self.catphan_roll),
-            width_ratio=0.04 * self.roi_size_factor, sampling_ratio=2, ccw=self.ccw)
-        circle_profile.filter(0.001, kind="gaussian")
-        circle_profile.ground()
-        return circle_profile
+        with profiling.stage("ctp528.circle_profile"):
+            circle_profile = CollapsedCircleProfile(
+                self.phan_center, self.radius2linepairs, image_array=self.image,
+                start_angle=self.start_angle + np.deg2rad(self.catphan_roll),
+                width_ratio=0.04 * self.roi_size_factor, sampling_ratio=2, ccw=self.ccw)
+            circle_profile.filter(0.001, kind="gaussian")
+            circle_profile.ground()
+            return circle_profile
 
 
 class CTP528CP604(CTP528CP504):
@@ -2128,12 +2138,13 @@ class CatPhanBatch:
         the localization pass
         (:func:`pylinac_tpu.parallel.mesh.sharded_stack_phantom_regions`);
         per-slice results match the single-device path."""
-        staged = []
-        for ct in self.cts:
-            st = ct._loc_stage_host()
-            if st is None:
-                raise ValueError("A scan has heterogeneous slice shapes")
-            staged.append(st)
+        with profiling.stage("batch_stage_host"):
+            staged = []
+            for ct in self.cts:
+                st = ct._loc_stage_host()
+                if st is None:
+                    raise ValueError("A scan has heterogeneous slice shapes")
+                staged.append(st)
         ds_set = {st[0] for st in staged}
         shape_set = {st[1].shape[1:] for st in staged}
         if len(ds_set) != 1 or len(shape_set) != 1:
@@ -2152,31 +2163,33 @@ class CatPhanBatch:
                 ct._loc_dev_cache = cache
             devs.append(cache[2])
         K = 32
-        if mesh is not None:
-            from .parallel.mesh import sharded_stack_phantom_regions
+        with profiling.stage("batch_localize"):
+            if mesh is not None:
+                from .parallel.mesh import sharded_stack_phantom_regions
 
-            packed, max_edges = sharded_stack_phantom_regions(
-                jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
-                ds, self.cts[0].clip_in_localization, mesh)
-            host = jlabel.regions_to_host(packed)
-            max_edges = np.asarray(jnp.ravel(max_edges))
-        elif _use_native_ccl():
-            host, max_edges = _stack_regions_native(
-                jnp.concatenate(devs, axis=0), ds,
-                self.cts[0].clip_in_localization, self.cts[0].clear_borders)
-            K = host.valid.shape[-1] + 1  # native K never truncates
-        else:
-            packed, max_edges = _stack_phantom_regions(
-                jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
-                ds, self.cts[0].clip_in_localization)
-            host = jlabel.regions_to_host(packed)
-            max_edges = np.asarray(jnp.ravel(max_edges))
-        offset = 0
-        for ct, n in zip(self.cts, counts):
-            ct._slice_centroids = ct._centroids_from_host(
-                host, max_edges, ds, range(offset, offset + n), K)
-            offset += n
-        self._roll_prepass(analyze_kwargs)
+                packed, max_edges = sharded_stack_phantom_regions(
+                    jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
+                    ds, self.cts[0].clip_in_localization, mesh)
+                host = jlabel.regions_to_host(packed)
+                max_edges = np.asarray(jnp.ravel(max_edges))
+            elif _use_native_ccl():
+                host, max_edges = _stack_regions_native(
+                    jnp.concatenate(devs, axis=0), ds,
+                    self.cts[0].clip_in_localization, self.cts[0].clear_borders)
+                K = host.valid.shape[-1] + 1  # native K never truncates
+            else:
+                packed, max_edges = _stack_phantom_regions(
+                    jnp.concatenate(devs, axis=0), K, self.cts[0].clear_borders,
+                    ds, self.cts[0].clip_in_localization)
+                host = jlabel.regions_to_host(packed)
+                max_edges = np.asarray(jnp.ravel(max_edges))
+            offset = 0
+            for ct, n in zip(self.cts, counts):
+                ct._slice_centroids = ct._centroids_from_host(
+                    host, max_edges, ds, range(offset, offset + n), K)
+                offset += n
+        with profiling.stage("batch_roll_prepass"):
+            self._roll_prepass(analyze_kwargs)
         try:
             for ct in self.cts:
                 ct._defer_geometry = True
@@ -2185,7 +2198,8 @@ class CatPhanBatch:
                 kwargs = dict(analyze_kwargs)
                 kwargs.setdefault("origin_slice", getattr(ct, "origin_slice", None))
                 ct.analyze(**kwargs)
-            self._finalize_geometry_batch()
+            with profiling.stage("batch_finalize_geometry"):
+                self._finalize_geometry_batch()
         finally:
             for ct in self.cts:
                 ct._defer_geometry = False

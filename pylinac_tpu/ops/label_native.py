@@ -140,6 +140,11 @@ def regions_from_packed(
         K = max(top, 2 * K)
 
     ok = valid.astype(bool)
+    if inten is None:
+        # the C++ pass initializes minmax to ±INF and only updates it when an
+        # intensity plane is supplied; zero it so the no-intensity route
+        # reports 0 like the device backend does
+        minmax[:] = 0.0
     area = np.where(ok, sums[..., 0], 0.0).astype(np.float32)
     safe_area = np.maximum(sums[..., 0], 1.0)
     centroid_r = (sums[..., 1] / safe_area).astype(np.float32)

@@ -179,7 +179,10 @@ def sharded_picket_fence(images: jnp.ndarray, cfg, params, mesh: Mesh,
 
 def sharded_gamma_2d(refs: jnp.ndarray, evals: jnp.ndarray, mesh: Mesh,
                      **gamma_kwargs):
-    """Batched 2D gamma (Low 2004 brute force) sharded over image pairs."""
+    """Batched 2D gamma (Low 2004 brute force) sharded over image pairs.
+
+    Batches not divisible by the device count are padded (and the result
+    sliced back), matching the PF/FA/CT mesh entries."""
     from ..ops.gamma import gamma_2d
 
     @functools.partial(
@@ -193,9 +196,13 @@ def sharded_gamma_2d(refs: jnp.ndarray, evals: jnp.ndarray, mesh: Mesh,
                             **gamma_kwargs)
         return jax.vmap(one)(local_r, local_e)
 
+    n = mesh.devices.size
+    refs_p, B = _pad_batch(jnp.asarray(refs), n)
+    evals_p, _ = _pad_batch(jnp.asarray(evals), n)
     shard = NamedSharding(mesh, P("data"))
-    return jax.jit(_run)(jax.device_put(refs, shard),
-                         jax.device_put(evals, shard))
+    out = jax.jit(_run)(jax.device_put(refs_p, shard),
+                        jax.device_put(evals_p, shard))
+    return out[:B]
 
 
 def sharded_wl_centroids(images: jnp.ndarray, mesh: Mesh,

@@ -993,8 +993,11 @@ class PicketFenceBatch:
         # device-resident config cache: each jnp.asarray here is a tunnel
         # round trip (~31 ms); the leaf geometry only depends on
         # (H, dpmm, ratio, mlc), so repeat analyzes reuse the staged arrays
+        # key on the leaf geometry VALUES (an id() key can collide when the
+        # mlc object is replaced and the old id is recycled)
         key = (H, round(float(dpmm), 9), round(float(analysis_ratio), 9),
-               id(self.mlc))
+               tuple(self.mlc.leaves), tuple(self.mlc.centers),
+               tuple(self.mlc.widths))
         cached = getattr(self, "_leaf_cfg_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1], cached[2], cached[3]
