@@ -2216,23 +2216,28 @@ class CatPhanBatch:
             ct.x_adjustment = analyze_kwargs.get("x_adjustment", 0)
             ct.y_adjustment = analyze_kwargs.get("y_adjustment", 0)
             ct.roll_slice_offset = analyze_kwargs.get("roll_slice_offset", 0)
-            ct._phantom_center_func = ct.find_phantom_axis()
+            with profiling.stage("prepass.axis"):
+                ct._phantom_center_func = ct.find_phantom_axis()
             origin = analyze_kwargs.get("origin_slice")
-            ct.origin_slice = (int(origin) if origin is not None
-                               else ct.find_origin_slice())
+            with profiling.stage("prepass.origin"):
+                ct.origin_slice = (int(origin) if origin is not None
+                                   else ct.find_origin_slice())
             slice_offset = round(ct.roll_slice_offset
                                  / ct.dicom_stack.slice_spacing)
             slice_num = ct.origin_slice + slice_offset
-            slcs.append((slice_num,
-                         Slice(ct, slice_num, clear_borders=ct.clear_borders)))
+            with profiling.stage("prepass.slice"):
+                slcs.append((slice_num,
+                             Slice(ct, slice_num,
+                                   clear_borders=ct.clear_borders)))
         arrs = [np.asarray(s.image.array) for _, s in slcs]
         if len({a.shape for a in arrs}) != 1:
             return  # heterogeneous roll slices: per-scan path
         center = slcs[0][1].image.center
         radius = 110 / slcs[0][1].mm_per_pixel
-        views = get_regions_batch(arrs, (float(center.y), float(center.x)),
-                                  radius, scale08=True, clear_borders=True,
-                                  minmax=False, want_intensity=False)
+        with profiling.stage("prepass.regions"):
+            views = get_regions_batch(arrs, (float(center.y), float(center.x)),
+                                      radius, scale08=True, clear_borders=True,
+                                      minmax=False, want_intensity=False)
         if views is None:
             return  # K overflow: per-scan escalation path
         for ct, (slice_num, _), v in zip(self.cts, slcs, views):
