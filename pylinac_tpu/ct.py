@@ -197,10 +197,11 @@ def _use_native_ccl() -> bool:
 
 
 def _edges_and_mask(arr, cy, cx, radius, use_disk: bool, use_otsu: bool,
-                    scale08: bool):
+                    scale08: bool, host: bool | None = None):
     """The mask stage shared by every region-extraction backend — MUST stay
     bit-identical across routes (Scharr→Gaussian→threshold, reference
-    ``ct.py:3315``)."""
+    ``ct.py:3315``). ``host`` picks the Otsu histogram strategy for the
+    backend the caller routed to (see ``ops.threshold.otsu_threshold``)."""
     edges = gaussian_filter(scharr(arr.astype(jnp.float32)), 1.0)
     if use_disk:
         h, w = arr.shape
@@ -208,30 +209,33 @@ def _edges_and_mask(arr, cy, cx, radius, use_disk: bool, use_otsu: bool,
         xx = jnp.arange(w, dtype=jnp.float32)[None, :]
         disk = (yy - cy) ** 2 + (xx - cx) ** 2 < radius**2
         if use_otsu:
-            thres = otsu_threshold(edges, mask=disk)
+            thres = otsu_threshold(edges, mask=disk, host=host)
         else:
             thres = (jnp.sum(jnp.where(disk, edges, 0.0))
                      / jnp.maximum(jnp.sum(disk), 1))
     else:
-        thres = otsu_threshold(edges) if use_otsu else jnp.mean(edges)
+        thres = (otsu_threshold(edges, host=host) if use_otsu
+                 else jnp.mean(edges))
     if scale08:
         thres = thres * 0.8
     return edges > thres, edges
 
 
 @functools.partial(jax.jit, static_argnames=("use_disk", "use_otsu",
-                                             "scale08", "want_edges"))
+                                             "scale08", "want_edges",
+                                             "host"))
 def _mask_pack_batch(arrs, cy, cx, radius, use_disk: bool, use_otsu: bool,
-                     scale08: bool, want_edges: bool):
+                     scale08: bool, want_edges: bool, host: bool = False):
     """Batched mask stage → ONE flat float32 wire buffer for the native CCL
     backend: [bit-packed mask halfwords..., edge image (optional)]."""
+    from .ops.pack import pack_tree
     bw, edges = jax.vmap(
         lambda a: _edges_and_mask(a, cy, cx, radius, use_disk, use_otsu,
-                                  scale08))(arrs)
+                                  scale08, host=host))(arrs)
     packed = label_native.pack_mask16(bw)
     if want_edges:
-        return jnp.concatenate([packed.ravel(), edges.ravel()])
-    return packed.ravel()
+        return pack_tree([packed.ravel(), edges.ravel()])
+    return pack_tree([packed.ravel()])
 
 
 # Mask batches at or below this element count run on the in-process CPU
@@ -251,11 +255,13 @@ def _native_region_rows(arrs: np.ndarray, centers_yx, radius,
     b, h, w = arrs.shape
     use_disk = centers_yx is not None
     cy, cx = centers_yx if use_disk else (0.0, 0.0)
-    dev = route.put(np.ascontiguousarray(arrs, np.float32),
-                    small=arrs.size <= _HOST_MASK_ELEMS)
-    flat = np.asarray(_mask_pack_batch(
+    from .ops.pack import fetch_concat
+    small = arrs.size <= _HOST_MASK_ELEMS
+    dev = route.put(np.ascontiguousarray(arrs, np.float32), small=small)
+    flat = fetch_concat(_mask_pack_batch(
         dev, np.float32(cy), np.float32(cx), np.float32(radius),
-        use_disk, threshold == "otsu", scale08, want_edges))
+        use_disk, threshold == "otsu", scale08, want_edges,
+        host=small or route.default_is_cpu()))
     ww = label_native.packed_width(w)
     nbits = b * h * ww
     bits = flat[:nbits].reshape(b, h, ww)
@@ -433,19 +439,28 @@ def _stack_mask_pack(raw_vol, ds: int, clip: bool):
     thres = jax.vmap(otsu_threshold)(edges)
     bw = edges > thres[:, None, None]
     max_edges = jax.vmap(lambda s: jnp.max(scharr(s)))(vol)
-    return jnp.concatenate([label_native.pack_mask16(bw).ravel(), max_edges])
+    # f32 is the tunnel's bulk wire format (integer arrays fetch
+    # element-wise — LINK_BUDGET.json "u8" row); ship the f32 halfwords in
+    # ~chunk-sized buffers the host drains on parallel streams
+    from .ops.pack import PACK_CHUNK_ELEMS
+    halfwords = label_native.pack_mask16(bw).ravel()
+    m = halfwords.shape[0]
+    step = max(PACK_CHUNK_ELEMS, 1)
+    chunks = tuple(halfwords[off:off + step] for off in range(0, m, step))
+    return chunks + (max_edges,)
 
 
 def _stack_regions_native(vol_dev, ds: int, clip: bool, clear_borders: bool):
     """Run the stack localization through the native backend. Returns
     ((N, K) host Regions, max_edges (N,))."""
+    from .ops.pack import _fetch_pool
     n, h, w = vol_dev.shape
     hp, wp = h // ds, w // ds
     ww = label_native.packed_width(wp)
-    flat = np.asarray(_stack_mask_pack(vol_dev, ds, clip))
-    nbits = n * hp * ww
-    bits = flat[:nbits].reshape(n, hp, ww)
-    max_edges = flat[nbits:]
+    parts = _stack_mask_pack(vol_dev, ds, clip)
+    host = list(_fetch_pool().map(np.asarray, parts))
+    bits = np.concatenate(host[:-1]).reshape(n, hp, ww)
+    max_edges = host[-1].astype(np.float32)
     host, _n = label_native.regions_from_packed(bits, wp, None,
                                                 connectivity=2)
     if clear_borders:

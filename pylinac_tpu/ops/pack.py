@@ -1,9 +1,12 @@
 """Single-transfer result packing for remote-TPU dispatch.
 
 Fetching a pytree of small result arrays costs one device→host round trip
-PER LEAF; on a tunneled TPU (~30 ms latency, highly asymmetric bandwidth)
+PER LEAF; on a tunneled TPU (~35 ms latency, highly asymmetric bandwidth)
 a 40-leaf result dict costs >1 s of pure latency. These helpers flatten a
-result tree into ONE float32 vector on device (one fetch) and restore
+result tree into ONE logical float32 vector on device — materialized as a
+tuple of ~chunk-sized output buffers so the host can drain them on
+parallel threads (the tunnel's D2H path moves ~17 MB/s on one stream but
+scales ~2× with concurrent fetches, LINK_BUDGET.json) — and restore
 shapes/dtypes on host.
 
 float32 packing is lossless for the QA result set: bools, small int32
@@ -12,15 +15,58 @@ indices (< 2^24), and native f32 metrics.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: Elements per packed output chunk (float32). ~1 MB chunks hit the
+#: tunnel's parallel-fetch sweet spot; override via env for A/B.
+PACK_CHUNK_ELEMS = int(float(os.environ.get(
+    "PYLINAC_TPU_PACK_CHUNK_MB", "1")) * (1 << 20) / 4) or (1 << 62)
 
-def pack_tree(tree) -> jnp.ndarray:
-    """Flatten a pytree of arrays into one 1D float32 device array."""
+#: Concurrent D2H fetch streams (measured ~2.2× at 4 on the axon tunnel).
+FETCH_THREADS = int(os.environ.get("PYLINAC_TPU_FETCH_THREADS", "4"))
+
+_pool: ThreadPoolExecutor | None = None
+
+
+def _fetch_pool() -> ThreadPoolExecutor:
+    global _pool
+    if _pool is None:
+        _pool = ThreadPoolExecutor(max_workers=max(FETCH_THREADS, 1))
+    return _pool
+
+
+def pack_tree(tree) -> tuple[jnp.ndarray, ...]:
+    """Flatten a pytree of arrays into chunked 1D float32 device buffers.
+
+    Trace-time only (call inside jit): the chunk boundaries are static.
+    Returns a tuple so XLA emits one output buffer per chunk; fetch with
+    :func:`fetch_concat`.
+    """
     leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.concatenate([jnp.ravel(leaf).astype(jnp.float32) for leaf in leaves])
+    vec = jnp.concatenate([jnp.ravel(leaf).astype(jnp.float32)
+                           for leaf in leaves])
+    n = vec.shape[0]
+    if n <= PACK_CHUNK_ELEMS:
+        return (vec,)
+    return tuple(vec[off:off + PACK_CHUNK_ELEMS]
+                 for off in range(0, n, PACK_CHUNK_ELEMS))
+
+
+def fetch_concat(parts) -> np.ndarray:
+    """Drain packed chunks device→host on parallel threads, return the
+    concatenated host vector. Accepts a single array or a tuple/list."""
+    if isinstance(parts, (jnp.ndarray, jax.Array, np.ndarray)):
+        return np.asarray(parts)
+    parts = list(parts)
+    if len(parts) == 1:
+        return np.asarray(parts[0])
+    host = list(_fetch_pool().map(np.asarray, parts))
+    return np.concatenate(host)
 
 
 _SPEC_CACHE: dict = {}
@@ -41,10 +87,11 @@ def tree_spec(fn, *args, cache_key=None, **kwargs):
     return spec
 
 
-def unpack_tree(packed: np.ndarray, spec):
-    """Restore the pytree from a packed vector using an ``eval_shape`` spec."""
+def unpack_tree(packed, spec):
+    """Restore the pytree from a packed vector (or chunk tuple) using an
+    ``eval_shape`` spec."""
     leaves, treedef = jax.tree_util.tree_flatten(spec)
-    packed = np.asarray(packed)
+    packed = fetch_concat(packed)
     out = []
     off = 0
     for leaf in leaves:

@@ -1,36 +1,50 @@
 """Chunked host→device staging for large image batches.
 
-The tunneled device link moves small transfers at full rate but degrades
-severely on large single `device_put` calls (measured: ~278 MB/s at 1 MB,
-~64 MB/s at 64 MB — PERF_BUDGET.json "H2D" rows). Staging a large batch as
-a stream of ~1–4 MB chunks that are reassembled on device with ONE
-concatenate dispatch keeps the wire at its small-transfer rate and lets
-XLA's async dispatch overlap the next chunk's transfer with device-side
-assembly.
+The tunneled device link moves large single `device_put` calls at a
+fraction of its small-transfer rate, and a single stream leaves wire idle
+time (forced-sync measurements in LINK_BUDGET.json: 64 MB in one put ≈
+1.7 s; 16 MB at 2 MB chunks ≈ 277 ms; two concurrent streams ≈ 1.6×).
+Staging a large batch as ~2 MB chunks issued from a small thread pool and
+reassembled on device with ONE concatenate dispatch keeps the wire busy at
+its best rate.
 
 `stage(arr)` is a drop-in replacement for `jax.device_put(arr)` /
 `jnp.asarray(arr)` on host numpy arrays; small arrays pass straight
-through. The chunk size is tunable via `PYLINAC_TPU_STAGE_CHUNK_MB`
-(default 2 MB; `0` disables chunking entirely for A/B).
+through. Tunables: `PYLINAC_TPU_STAGE_CHUNK_MB` (default 2; `0` disables
+chunking) and `PYLINAC_TPU_STAGE_THREADS` (default 4; `1` restores the
+serial put loop).
 """
 
 from __future__ import annotations
 
+import functools
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-#: Chunk size in bytes. Large single transfers degrade to ~1/4 of the
-#: link's small-transfer rate (PERF_BUDGET.json); 2 MB sits on the
-#: measured sweet-spot plateau. 0 disables chunking.
+#: Chunk size in bytes. 2 MB sits on the measured sweet-spot plateau
+#: (LINK_BUDGET.json "H2D 16MB chunked" rows). 0 disables chunking.
 CHUNK_BYTES = int(float(os.environ.get("PYLINAC_TPU_STAGE_CHUNK_MB", "2"))
                   * (1 << 20))
 
+#: Concurrent H2D streams (measured ~1.6× with 2+ on the axon tunnel).
+STAGE_THREADS = int(os.environ.get("PYLINAC_TPU_STAGE_THREADS", "4"))
+
 #: Arrays at or below 2x the chunk size aren't worth splitting.
 _MIN_SPLIT_BYTES = 2 * CHUNK_BYTES
+
+_pool: ThreadPoolExecutor | None = None
+
+
+def _stage_pool() -> ThreadPoolExecutor:
+    global _pool
+    if _pool is None:
+        _pool = ThreadPoolExecutor(max_workers=max(STAGE_THREADS, 1))
+    return _pool
 
 
 def stage(arr: np.ndarray, device=None) -> jax.Array:
@@ -46,14 +60,14 @@ def stage(arr: np.ndarray, device=None) -> jax.Array:
         return jax.device_put(arr, device)
     flat = np.ascontiguousarray(arr).reshape(-1)
     chunk_elems = max(CHUNK_BYTES // arr.itemsize, 1)
-    parts = [
-        jax.device_put(flat[off:off + chunk_elems], device)
-        for off in range(0, flat.size, chunk_elems)
-    ]
+    views = [flat[off:off + chunk_elems]
+             for off in range(0, flat.size, chunk_elems)]
+    put = functools.partial(jax.device_put, device=device)
+    if STAGE_THREADS > 1 and len(views) > 1:
+        parts = list(_stage_pool().map(put, views))
+    else:
+        parts = [put(v) for v in views]
     return _assemble(tuple(parts), arr.shape)
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnums=1)

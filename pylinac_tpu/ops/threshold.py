@@ -11,12 +11,22 @@ import jax.numpy as jnp
 
 
 def otsu_threshold(image: jnp.ndarray, nbins: int = 256,
-                   mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                   mask: jnp.ndarray | None = None,
+                   host: bool | None = None) -> jnp.ndarray:
     """Otsu's threshold (skimage.filters.threshold_otsu semantics: histogram
     over [min, max] with `nbins` bins; returns the bin *center*).
 
     ``mask`` (same shape, bool) restricts the histogram to selected pixels
-    — equivalent to ``otsu_threshold(image[mask])`` but jit-friendly."""
+    — equivalent to ``otsu_threshold(image[mask])`` but jit-friendly.
+
+    ``host`` picks the histogram strategy: scatter (``segment_sum``) is
+    fast on CPU but serializes on the TPU scalar unit; the one-hot matmul
+    rides the MXU but materializes an N×nbins operand that costs ~600 ms
+    per 512² slice on CPU. Callers that route small inputs to the
+    in-process CPU backend (``ops.route.put(small=True)``) MUST pass
+    ``host=True`` — the default infers from ``jax.default_backend()``,
+    which reflects where *uncommitted* arrays run, not where a
+    CPU-committed input actually executes."""
     flat = image.ravel().astype(jnp.float32)
     if mask is not None:
         m = mask.ravel()
@@ -31,7 +41,9 @@ def otsu_threshold(image: jnp.ndarray, nbins: int = 256,
     span = jnp.maximum(vmax - vmin, 1e-20)
     # histogram
     idx = jnp.clip(((flat - vmin) / span * nbins).astype(jnp.int32), 0, nbins - 1)
-    if jax.default_backend() == "tpu":
+    if host is None:
+        host = jax.default_backend() not in ("tpu", "axon")
+    if not host:
         # scatters serialize on the TPU scalar unit; ride the MXU instead:
         # hist = onehot(idx)^T @ weights in one matmul
         onehot = (idx[:, None] == jnp.arange(nbins, dtype=idx.dtype)[None, :]

@@ -298,7 +298,7 @@ def sharded_pf_batch(images: jnp.ndarray, cfg, params, mesh: Mesh,
         jax.ShapeDtypeStruct(padded.shape, padded.dtype), cfg, params,
         cache_key=("pf-sharded", padded.shape, str(padded.dtype),
                    cfg.tops.shape, n, tuple(sorted(static.items()))))
-    out = unpack_tree(np.asarray(packed), spec)
+    out = unpack_tree(packed, spec)
     return jax.tree_util.tree_map(lambda x: x[:B], out)
 
 
@@ -328,7 +328,7 @@ def sharded_fa_strips_batch(vert_strips: np.ndarray, horiz_strips: np.ndarray,
         jax.ShapeDtypeStruct(horiz.shape, jnp.float32), params,
         cache_key=("fa-sharded", vert.shape, horiz.shape, n,
                    tuple(sorted(static.items()))))
-    out = unpack_tree(np.asarray(packed), spec)
+    out = unpack_tree(packed, spec)
     return jax.tree_util.tree_map(lambda x: x[:B], out)
 
 
