@@ -344,15 +344,17 @@ class StarshotConfig:
         return self._last
 
     def check_parity(self):
-        (bx, by), _wobble_px = self.run_baseline_one(0)
-        r = self._last[0]
-        cx, cy = r.circle_center_x_y
-        # the numpy baseline mimics (not replicates) the radius sweep, so
-        # centers agree to sub-pixel, not to float precision
-        assert abs(cx - bx) < 1.0 and abs(cy - by) < 1.0, \
-            f"Starshot parity: center ({cx},{cy}) vs np ({bx},{by})"
-        assert r.circle_diameter_mm < 0.5, \
-            f"Starshot parity: wobble {r.circle_diameter_mm} mm on a perfect star"
+        """Enforced at the north-star 0.01 mm budget against the synthetic
+        GROUND TRUTH (every spoke passes through (500, 520) by
+        construction — stronger than the mimic baseline, which only
+        approximates the radius sweep and is kept for timing honesty)."""
+        for i, r in enumerate(self._last):
+            cx, cy = r.circle_center_x_y
+            assert abs(cx - 500.0) < 0.01 * self.dpmm \
+                and abs(cy - 520.0) < 0.01 * self.dpmm, \
+                f"Starshot parity (img {i}): center ({cx},{cy}) vs truth (500,520)"
+            assert r.circle_diameter_mm < 0.01, \
+                f"Starshot parity (img {i}): wobble {r.circle_diameter_mm} mm on a perfect star"
 
     def run_baseline_one(self, i: int):
         """Reference Starshot semantics in numpy/scipy (starshot.py:230):
@@ -450,52 +452,140 @@ class WinstonLutzConfig:
         return self._last
 
     def check_parity(self):
-        fy, fx, found = self.run_baseline_one(0)
+        """The baseline replicates the reference's exact detection chain
+        (not a mimic), so field and BB centroids must agree to the 0.01 mm
+        budget (~0.03 px at this dpmm; residual is f32-vs-f64 roundoff)."""
+        fy, fx, (bby, bbx) = self.run_baseline_one(0)
         img = self.wl.images[0]
-        assert abs(img.field_cax.x - fx) < 0.05 and abs(img.field_cax.y - fy) < 0.05, \
+        assert abs(img.field_cax.x - fx) < 0.03 and abs(img.field_cax.y - fy) < 0.03, \
             f"WL parity (field): tpu {img.field_cax} vs np ({fx},{fy})"
-        assert found is not None
-        # baseline takes the plain center-of-mass at the LAST matching
-        # threshold; the product path takes the first-hit weighted centroid —
-        # both land on the BB center to a fraction of a pixel
-        half = int(10 * self.dpmm)
-        bby, bbx = found[0] + int(fy) - half, found[1] + int(fx) - half
-        assert abs(img.bb.x - bbx) < 0.5 and abs(img.bb.y - bby) < 0.5, \
+        assert abs(img.bb.x - bbx) < 0.03 and abs(img.bb.y - bby) < 0.03, \
             f"WL parity (bb): tpu {img.bb} vs np ({bbx},{bby})"
 
+    @staticmethod
+    def _skimage_perimeter(region_mask: np.ndarray) -> float:
+        """skimage.measure.perimeter(neighborhood=4) — Freeman-weighted
+        border-pixel histogram (what regionprops.perimeter uses)."""
+        img = region_mask.astype(np.uint8)
+        strel = ndi.generate_binary_structure(2, 1)
+        eroded = ndi.binary_erosion(img, strel, border_value=0)
+        border = img - eroded
+        weights = np.zeros(50)
+        weights[[5, 7, 15, 17, 25, 27]] = 1
+        weights[[21, 33]] = np.sqrt(2)
+        weights[[13, 23]] = (1 + np.sqrt(2)) / 2
+        pimg = ndi.convolve(border, np.array([[10, 2, 10], [2, 1, 2],
+                                              [10, 2, 10]]),
+                            mode="constant", cval=0)
+        hist = np.bincount(pimg.ravel(), minlength=50)
+        return float(hist @ weights)
+
+    @staticmethod
+    def _convex_area(region_mask: np.ndarray) -> float:
+        """Convex-hull pixel count (skimage convex_image semantics via a
+        Delaunay inside-test over the region's pixel coordinates)."""
+        from scipy.spatial import Delaunay, QhullError
+
+        pts = np.argwhere(region_mask)
+        if len(pts) < 3:
+            return float(len(pts))
+        try:
+            tri = Delaunay(pts)
+        except QhullError:
+            return float(len(pts))
+        rmin, cmin = pts.min(axis=0)
+        rmax, cmax = pts.max(axis=0)
+        rr, cc = np.mgrid[rmin:rmax + 1, cmin:cmax + 1]
+        grid = np.column_stack([rr.ravel(), cc.ravel()])
+        return float(np.count_nonzero(tri.find_simplex(grid) >= 0))
+
     def run_baseline_one(self, i: int):
-        """Reference WL per-image semantics in numpy/scipy
-        (winston_lutz.py:668): histogram inversion check, ground/normalize,
-        field centroid via 50% threshold + fill + center-of-mass, BB via
-        the multi-threshold find_features scan (metrics/utils.py:66 — 50
-        label/regionprops passes over the search window)."""
+        """Reference WL per-image chain replicated exactly in numpy/scipy
+        (winston_lutz.py:668 analyze → :764 find_field_centroids → :788
+        find_bb_centroids → metrics/utils.py:66 find_features with the five
+        default detection conditions of metrics/features.py): histogram
+        inversion check, clean-edges crop, ground, normalize; field =
+        percentile-threshold + fill_holes + center_of_mass; BB = windowed
+        invert/stretch 50-cutoff scan, conn-1 label, clear_border,
+        size/round/circumference/symmetric/solid conditions, first-hit
+        weighted centroid."""
         arr = self.arrays[i].copy()
-        p5, p50, p95 = np.percentile(arr, [5, 50, 95])
-        if abs(p50 - p5) > abs(p50 - p95):
+        # --- preprocessing (WLBaseImage.analyze prologue) -------------------
+        p_low, p_mid, p_high = np.percentile(arr, [0.01, 50, 99.99])
+        if abs(p_mid - p_low) > abs(p_mid - p_high):
             arr = arr.max() + arr.min() - arr
-        arr -= arr.min()
-        arr /= arr.max()
-        # field centroid
-        thresh = arr > 0.5
-        filled = ndi.binary_fill_holes(thresh)
+        ws = 2  # clean_edges window
+        safety = min(arr.shape) / 10
+        while safety > 0:
+            near_min, near_max = np.percentile(arr, [5, 99.5])
+            rng = near_max - near_min
+            edge = np.concatenate((arr[:ws].ravel(), arr[:, :ws].ravel(),
+                                   arr[-ws:].ravel(), arr[:, -ws:].ravel()))
+            if not (edge.min() < near_min - rng / 10
+                    or edge.max() > near_max + rng / 10):
+                break
+            arr = arr[ws:-ws, ws:-ws]
+            safety -= 1
+        arr = arr - arr.min()
+        arr = arr / arr.max()
+        # --- field centroid (find_field_centroids) --------------------------
+        vmin, vmax = np.percentile(arr, [5, 99.9])
+        filled = ndi.binary_fill_holes(arr >= (vmax - vmin) / 2 + vmin)
         fy, fx = ndi.center_of_mass(filled)
-        # BB search window around the CAX (physical ~20 mm)
-        half = int(10 * self.dpmm)
-        win = arr[int(fy) - half: int(fy) + half,
-                  int(fx) - half: int(fx) + half]
-        inv = win.max() - win
-        found = None
-        for frac in np.linspace(0.05, 0.95, 50):
-            bw = inv > inv.min() + frac * np.ptp(inv)
-            lab, n = ndi.label(bw)
-            if n == 0:
-                continue
-            sizes = np.bincount(lab.ravel())[1:]
-            expected = np.pi * (2.5 * self.dpmm) ** 2
-            cands = [k + 1 for k, s in enumerate(sizes)
-                     if expected / 2 < s < expected * 2]
-            if cands:
-                found = ndi.center_of_mass(inv, lab, cands[0])
+        # --- BB scan (find_bb_centroids → find_features) --------------------
+        import math as _math
+        bb_size_mm = 5.0
+        tol_mm = float(np.interp(bb_size_mm, (1.5, 30), (2, 4)))
+        H, W = arr.shape
+        sw = (40 + bb_size_mm) * self.dpmm
+        left = max(_math.floor(W / 2 - sw / 2), 0)
+        right = min(_math.ceil(W / 2 + sw / 2), W)
+        top = max(_math.floor(H / 2 - sw / 2), 0)
+        bottom = min(_math.ceil(H / 2 + sw / 2), H)
+        win = arr[top:bottom, left:right]
+        win = win.max() + win.min() - win              # invert
+        win = (win - win.min()) / np.ptp(win)          # stretch to [0, 1]
+        radius, rtol = bb_size_mm / 2, tol_mm
+        larger = np.pi * (radius + rtol) ** 2
+        smaller = max(np.pi * (radius - rtol) ** 2, 2)
+        step = 1 / 50
+        cutoff, found = step, None
+        cross = ndi.generate_binary_structure(2, 1)
+        while cutoff <= 1 and found is None:
+            bw = win > cutoff
+            lab, n = ndi.label(bw, structure=cross)
+            border_labels = set(np.concatenate((
+                lab[0], lab[-1], lab[:, 0], lab[:, -1]))) - {0}
+            for k in range(1, n + 1):
+                if k in border_labels:
+                    continue
+                region = lab == k
+                rfill = ndi.binary_fill_holes(region)
+                area_filled = float(rfill.sum())
+                if not smaller < area_filled / self.dpmm ** 2 < larger:
+                    continue
+                rows, cols = np.nonzero(region)
+                dy, dx = (rows.max() - rows.min() + 1,
+                          cols.max() - cols.min() + 1)
+                if not (np.pi / 4 * 0.8
+                        < area_filled / (dy * dx) < np.pi / 4 * 1.2):
+                    continue
+                perim = self._skimage_perimeter(
+                    region[rows.min():rows.max() + 1,
+                           cols.min():cols.max() + 1]) / self.dpmm
+                if not (2 * np.pi * (radius - rtol) < perim
+                        < 2 * np.pi * (radius + rtol)):
+                    continue
+                if dx > max(dy * 1.05, dy + 3) or dx < min(dy * 0.95, dy - 3):
+                    continue
+                if area_filled / max(self._convex_area(region), 1.0) <= 0.9:
+                    continue
+                wsum = win[region].sum()
+                found = ((rows * win[rows, cols]).sum() / wsum + top,
+                         (cols * win[rows, cols]).sum() / wsum + left)
+                break
+            cutoff += step
+        assert found is not None, "baseline found no BB"
         return fy, fx, found
 
 
