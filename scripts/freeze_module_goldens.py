@@ -79,14 +79,14 @@ def freeze() -> dict:
 
     wl = cfgs["WinstonLutz"]
     wl.setup()
-    half = int(10 * wl.dpmm)
     fields, bbs = [], []
     for i in range(8):
-        fy, fx, found = wl.run_baseline_one(i)
-        assert found is not None
+        # the baseline replicates the reference detection chain exactly
+        # (bench.py WinstonLutzConfig.run_baseline_one), so these goldens
+        # carry the full 0.01 mm budget
+        fy, fx, (bby, bbx) = wl.run_baseline_one(i)
         fields.append([float(fx), float(fy)])
-        bbs.append([float(found[1] + int(fx) - half),
-                    float(found[0] + int(fy) - half)])
+        bbs.append([float(bbx), float(bby)])
     golden["WinstonLutz"] = {"field_xy": fields, "bb_xy": bbs}
 
     ct = cfgs["CatPhan504"]
