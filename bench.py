@@ -863,7 +863,25 @@ def _ensure_device(probe_timeout_s: float = 360, retries: int = 5) -> None:
 
 
 def main() -> None:
+    import os
     import warnings
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon plugin ignores the env var; honor an explicit cpu
+        # override in-process too (the probe subprocess already does)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("PYLINAC_TPU_JAX_CACHE", "1") != "0":
+        # persistent compilation cache: tunnel-side compiles run 30-90 s
+        # per kernel; cached reloads are sub-second on repeat bench runs
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     # physics warnings (MTF extrapolation etc.) are parity behavior the
     # reference also emits; dedupe so the bench tail stays readable
@@ -896,6 +914,12 @@ def main() -> None:
         except Exception as e:  # keep the suite alive; report what ran
             _log(f"[bench] {cfg.name} FAILED: {e!r}")
             details.append({"config": cfg.name, "error": repr(e)})
+
+    # Dispatch counts are NOT collected in-process: the execute hooks must
+    # install before the first jit call (the pjit C++ fastpath caches past
+    # them), which would distort the timed runs. The committed
+    # DISPATCH_COUNTS.txt is regenerated out-of-band each round with
+    # ``PYLINAC_COUNT_PLATFORM=axon python scripts/count_dispatches.py``.
 
     ok = [d for d in details if "speedup" in d]
     geo = math.exp(sum(math.log(d["speedup"]) for d in ok) / len(ok)) if ok else 0.0

@@ -90,8 +90,10 @@ def bb_scan_core(windows: jnp.ndarray, cutoffs: jnp.ndarray, *, K: int,
     masks = (windows[None, :, :, :] > cutoffs[:, None, None, None]
              ).reshape(t * b, h, w)
     intens = jnp.broadcast_to(windows[None], (t, b, h, w)).reshape(t * b, h, w)
+    # moments=False: the condition chain + weighted centroids never read
+    # the second-moment columns; dropping them trims the feature matmul
     regions = jlabel.regionprops_batch(masks, intens, K=K, connectivity=1,
-                                       fill=True)
+                                       fill=True, moments=False)
     regions = jlabel.clear_border(regions)
     kept = _kept_mask_bb(regions, dpmm=dpmm, bb_radius_mm=bb_radius_mm,
                          tolerance_mm=tolerance_mm)           # (t*b, K)

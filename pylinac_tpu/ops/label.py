@@ -254,7 +254,7 @@ def _fill_holes_xla(mask: jnp.ndarray, max_iter: int = 512) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "connectivity", "max_iter", "fill",
-                                    "hull", "minmax"))
+                                    "hull", "minmax", "moments"))
 def regionprops(
     mask: jnp.ndarray,
     intensity: jnp.ndarray | None = None,
@@ -264,6 +264,7 @@ def regionprops(
     fill: bool = True,
     hull: bool = True,
     minmax: bool = True,
+    moments: bool = True,
 ) -> Regions:
     """Label a mask and compute fixed-K region properties in one pass.
 
@@ -283,7 +284,7 @@ def regionprops(
     lab = label(mask, connectivity=connectivity, max_iter=max_iter)
     is_hole, bg_lab = _holes_single(mask, max_iter)
     return _props_from_label(mask, lab, intensity, is_hole, bg_lab, K=K,
-                             hull=hull, minmax=minmax)
+                             hull=hull, minmax=minmax, moments=moments)
 
 
 def _holes_xla(mask: jnp.ndarray, max_iter: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -331,8 +332,14 @@ def _props_from_label(
     K: int = 32,
     hull: bool = True,
     minmax: bool = True,
+    moments: bool = True,
 ) -> Regions:
-    """Fixed-K region properties from a labeled mask (see :func:`regionprops`)."""
+    """Fixed-K region properties from a labeled mask (see :func:`regionprops`).
+
+    ``moments=False`` drops the three second-moment feature columns (each
+    is an (H*W,) f32 materialization feeding the segment matmul) and
+    zero-fills axis lengths/eccentricity/orientation — for callers that
+    only consume areas/centroids/perimeter/solidity (the WL BB scan)."""
     h, w = mask.shape
     flat_lab = lab.ravel()
     n_px = h * w
@@ -409,14 +416,45 @@ def _props_from_label(
     # leftmost pixel — and since component labels are root (minimum) linear
     # indices, that pixel's index is the hole's label itself.
     flat_region_lab = lab.ravel()
-    hole_root = jnp.clip(bg_lab.ravel(), 0, h * w - 1)
-    above_idx = jnp.clip(hole_root - w, 0, h * w - 1)
-    hole_region = jnp.where(is_hole.ravel(), flat_region_lab[above_idx], -1)
-    # map each hole pixel to the enclosing region's compact slot
-    hole_eq = hole_region[:, None] == ids[None, :]  # (N, K+1); -1 no match
-    if on_tpu:
-        hole_areas = jnp.sum(hole_eq.astype(jnp.float32), axis=0)[:K]
+    import os
+    if on_tpu or os.environ.get("PYLINAC_TPU_HOLES") == "matmul":
+        # Gather-free hole assignment (the N-element
+        # ``flat_region_lab[above_idx]`` gather serializes on the TPU
+        # scalar unit — measured ~90 ms per 416-window WL scan batch).
+        # Compact the hole components exactly like the regions (top_k over
+        # root indices, smallest K kept — region slots truncate at K the
+        # same way), then per-hole areas and the enclosing label (the
+        # region pixel one row above each hole root) are one-row shifts and
+        # small matmuls.
+        hole_flat = is_hole.ravel()
+        bgl = jnp.clip(bg_lab.ravel(), -1, n_px)
+        hole_roots_i = jnp.where(hole_flat & (bgl == aranged), aranged,
+                                 jnp.int32(n_px))
+        hole_ids = -jax.lax.top_k(-hole_roots_i, K + 1)[0]       # (K+1,)
+        hole_oh = ((bgl[:, None] == hole_ids[None, :])
+                   & hole_flat[:, None]).astype(jnp.float32)     # (N, K+1)
+        # labels fit f32 exactly (n_px < 2^24)
+        lab_above = jnp.concatenate([
+            jnp.full(w, -2, flat_region_lab.dtype), flat_region_lab[:-w]])
+        root_oh = (aranged[:, None] == hole_ids[None, :]).astype(jnp.float32)
+        packed2 = jax.lax.dot_general(
+            jnp.stack([hole_oh, root_oh], axis=-1).reshape(n_px, -1),
+            jnp.stack([jnp.ones(n_px, jnp.float32),
+                       lab_above.astype(jnp.float32)], axis=-1),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).reshape(K + 1, 2, 2)
+        hole_area_k2 = packed2[:, 0, 0]                  # per-hole pixel count
+        enc_label = packed2[:, 1, 1]                     # enclosing label
+        enc_eq = (enc_label[:, None]
+                  == ids[None, :K].astype(jnp.float32))  # (K+1, K)
+        hole_areas = jnp.sum(hole_area_k2[:, None] * enc_eq, axis=0)
     else:
+        hole_root = jnp.clip(bg_lab.ravel(), 0, h * w - 1)
+        above_idx = jnp.clip(hole_root - w, 0, h * w - 1)
+        hole_region = jnp.where(is_hole.ravel(), flat_region_lab[above_idx], -1)
+        # map each hole pixel to the enclosing region's compact slot
+        hole_eq = hole_region[:, None] == ids[None, :]  # (N, K+1); -1 no match
         hole_ok = jnp.any(hole_eq, axis=1)
         hole_slot = jnp.where(hole_ok, jnp.argmax(hole_eq, axis=1), K + 1)
         hole_areas = jax.ops.segment_sum(
@@ -430,12 +468,14 @@ def _props_from_label(
     perim_img = _perimeter_image(lab).ravel()
 
     # all segment SUMS in one MXU matmul: (N, num)^T @ (N, F)
-    features = jnp.stack([
+    cols = [
         rr * in_mask, cc * in_mask,                 # centroid sums
         ii, rr * ii, cc * ii,                       # intensity sums
         on_border * in_mask, perim_img,             # border / perimeter
-        rr * rr * in_mask, cc * cc * in_mask, rr * cc * in_mask,  # moments
-    ], axis=-1)
+    ]
+    if moments:
+        cols += [rr * rr * in_mask, cc * cc * in_mask, rr * cc * in_mask]
+    features = jnp.stack(cols, axis=-1)
     sums = seg_many(features)[:K]
     sum_r, sum_c = sums[:, 0], sums[:, 1]
     sum_i = sums[:, 2]
@@ -463,19 +503,22 @@ def _props_from_label(
         rmin = cmin = zeros
         rmax = cmax = zeros - 1.0
 
-    # central moments (unfilled pixels, like skimage inertia) for axes/ecc
-    mu20 = sums[:, 7] / jnp.maximum(area, 1) - centroid_r**2
-    mu02 = sums[:, 8] / jnp.maximum(area, 1) - centroid_c**2
-    mu11 = sums[:, 9] / jnp.maximum(area, 1) - centroid_r * centroid_c
-    common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4 * mu11**2, 0.0))
-    l1 = (mu20 + mu02 + common) / 2
-    l2 = (mu20 + mu02 - common) / 2
-    major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
-    minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
-    ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-20), 0.0))
-    # skimage: angle of major axis vs row axis in (-pi/2, pi/2], from the
-    # inertia tensor [[mu20, -mu11], [-mu11, mu02]]
-    orientation = 0.5 * jnp.arctan2(2 * mu11, mu02 - mu20)
+    if moments:
+        # central moments (unfilled pixels, like skimage inertia) for axes/ecc
+        mu20 = sums[:, 7] / jnp.maximum(area, 1) - centroid_r**2
+        mu02 = sums[:, 8] / jnp.maximum(area, 1) - centroid_c**2
+        mu11 = sums[:, 9] / jnp.maximum(area, 1) - centroid_r * centroid_c
+        common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4 * mu11**2, 0.0))
+        l1 = (mu20 + mu02 + common) / 2
+        l2 = (mu20 + mu02 - common) / 2
+        major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
+        minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
+        ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-20), 0.0))
+        # skimage: angle of major axis vs row axis in (-pi/2, pi/2], from
+        # the inertia tensor [[mu20, -mu11], [-mu11, mu02]]
+        orientation = 0.5 * jnp.arctan2(2 * mu11, mu02 - mu20)
+    else:
+        major = minor = ecc = orientation = jnp.zeros(K, jnp.float32)
 
     # convex hull pixel count via D-direction support functions: a pixel
     # center is inside the hull iff its projection is ≤ the region's support
@@ -591,6 +634,7 @@ def regionprops_batch(
     fill: bool = True,
     hull: bool = True,
     minmax: bool = True,
+    moments: bool = True,
     chunk: int = 64,
 ) -> Regions:
     """Batched :func:`regionprops` over (B, h, w) masks → Regions with
@@ -609,7 +653,7 @@ def regionprops_batch(
     def one(args):
         m, l, i, ih, bl = args
         return _props_from_label(m.astype(bool), l, i, ih, bl, K=K,
-                                 hull=hull, minmax=minmax)
+                                 hull=hull, minmax=minmax, moments=moments)
 
     return jax.lax.map(one, (masks, labs, intensity, is_hole, bg_lab),
                        batch_size=min(chunk, b))

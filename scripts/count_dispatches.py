@@ -50,7 +50,16 @@ def _attribute() -> str:
     return "<jax internals>"
 
 
+_installed = False
+
+
 def _install() -> None:
+    """Install the counting hooks (idempotent). Disables the pjit C++
+    fastpath, so install only AFTER any timing-sensitive runs."""
+    global _installed
+    if _installed:
+        return
+    _installed = True
     import jax._src.interpreters.pxla as pxla
     import jax._src.pjit as pjit_mod
 
@@ -86,18 +95,28 @@ def _install() -> None:
 
 
 @contextlib.contextmanager
-def counting(label: str):
+def capture():
+    """Importable counting context: installs hooks (first use) and yields
+    the live Counter; read it after the block. Keys are
+    ``[platform] file:line``."""
     global ACTIVE
+    _install()
     COUNTS.clear()
     ACTIVE = True
     try:
-        yield
+        yield COUNTS
     finally:
         ACTIVE = False
-        total = sum(COUNTS.values())
-        print(f"\n== {label}: {total} dispatches ==")
-        for name, n in COUNTS.most_common(30):
-            print(f"  {n:5d}  {name}")
+
+
+@contextlib.contextmanager
+def counting(label: str):
+    with capture() as counts:
+        yield
+    total = sum(counts.values())
+    print(f"\n== {label}: {total} dispatches ==")
+    for name, n in counts.most_common(30):
+        print(f"  {n:5d}  {name}")
 
 
 def main() -> None:

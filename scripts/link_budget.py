@@ -79,6 +79,17 @@ def main() -> None:
     rows.append(("D2H 4M elems as u8 (4MB)",
                  timeit(lambda: np.asarray(f_id(dev8)), n=3)))
 
+    # ---- H2D integer payloads: does u16 ride the bulk path or the slow
+    # element-wise path? (decides whether staging should byte-view integer
+    # frames as f32 words and bitcast back on device)
+    fsum16 = jax.jit(lambda x: x.ravel()[:1])
+    u16 = np.ones(8 << 20, np.uint16)  # 16MB logical
+    rows.append(("H2D 16MB as u16 (forced)",
+                 timeit(lambda: np.asarray(fsum16(jax.device_put(u16))), n=3)))
+    as_f32 = u16.view(np.float32)
+    rows.append(("H2D 16MB u16 viewed f32 (forced)",
+                 timeit(lambda: np.asarray(fsum(jax.device_put(as_f32))), n=3)))
+
     for name, ms in rows:
         print(f"{name:42s} {ms:8.1f} ms")
     with open("LINK_BUDGET.json", "w") as fh:

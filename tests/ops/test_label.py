@@ -232,3 +232,35 @@ def test_find_features_batched_matches_sequential():
     bat = run(True)
     assert len(seq) == 3
     assert np.allclose(sorted(seq), sorted(bat))
+
+
+def test_hole_assignment_matmul_matches_gather(monkeypatch):
+    """The gather-free (matmul) hole-assignment backend — the TPU route —
+    must reproduce the CPU gather route's area_filled exactly, including a
+    separate region sitting inside another region's hole (the WL BB case)
+    and random noisy masks."""
+    rng = np.random.default_rng(3)
+    cases = []
+    ring_bb = _disk_mask(60, 60, 30, 30, 20) & ~_disk_mask(60, 60, 30, 30, 12)
+    ring_bb |= _disk_mask(60, 60, 30, 30, 4)  # BB inside the ring's hole
+    cases.append(ring_bb)
+    blob = _disk_mask(50, 50, 25, 25, 15) & ~_disk_mask(50, 50, 20, 25, 4)
+    blob &= ~_disk_mask(50, 50, 32, 28, 3)    # two holes, one region
+    cases.append(blob)
+    for _ in range(4):
+        cases.append(rng.random((48, 56)) > 0.62)  # many regions + holes
+
+    for mask in cases:
+        dev = jnp.asarray(mask)
+        base = jl.regionprops(dev, K=16, connectivity=1, fill=True)
+        jl.regionprops.clear_cache()
+        monkeypatch.setenv("PYLINAC_TPU_HOLES", "matmul")
+        try:
+            alt = jl.regionprops(dev, K=16, connectivity=1, fill=True)
+        finally:
+            monkeypatch.delenv("PYLINAC_TPU_HOLES")
+            jl.regionprops.clear_cache()
+        np.testing.assert_array_equal(np.asarray(base.valid), np.asarray(alt.valid))
+        np.testing.assert_allclose(np.asarray(base.area_filled),
+                                   np.asarray(alt.area_filled))
+        np.testing.assert_allclose(np.asarray(base.area), np.asarray(alt.area))
