@@ -33,12 +33,21 @@ def _gamma_kernel(scal_ref, ref_ref, evalp_ref, out_ref, *, offsets,
     h, w = ref.shape
     min_g2 = jnp.full((h, w), jnp.float32(jnp.inf))
     min_g2 = jnp.minimum(min_g2, cap * cap)
+    # Group the disk offsets by dx: a column (lane-axis) shift is an
+    # unaligned vector load (~2 loads + funnel shuffle per row) while a row
+    # (sublane) shift is nearly free — hoisting the column shift does 2·dta+1
+    # expensive shifts instead of one per disk offset (~253 for dta=9).
+    by_dx: dict = {}
     for dy, dx in offsets:
-        shifted = evalp_ref[dta + dy: dta + dy + h, dta + dx: dta + dx + w]
-        dd = shifted - ref
-        cand = jnp.float32((dy * dy + dx * dx) / (dta * dta)) + dd * dd
-        cand = jnp.where(jnp.isnan(cand), jnp.inf, cand)
-        min_g2 = jnp.minimum(min_g2, cand)
+        by_dx.setdefault(dx, []).append(dy)
+    for dx, dys in sorted(by_dx.items()):
+        ev_dx = evalp_ref[:, dta + dx: dta + dx + w]
+        for dy in dys:
+            shifted = ev_dx[dta + dy: dta + dy + h, :]
+            dd = shifted - ref
+            cand = jnp.float32((dy * dy + dx * dx) / (dta * dta)) + dd * dd
+            cand = jnp.where(jnp.isnan(cand), jnp.inf, cand)
+            min_g2 = jnp.minimum(min_g2, cand)
     gamma = jnp.minimum(jnp.sqrt(min_g2), cap)
     skip = jnp.isnan(ref) | (ref < threshold_n)
     out_ref[:] = jnp.where(skip, fill, gamma)

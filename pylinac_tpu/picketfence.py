@@ -1225,30 +1225,43 @@ class PicketFenceBatch:
                         if len(offsets) > 1 else 0.0)
         skew = float(np.mean([np.rad2deg(fits[p, 0]) for p in picket_slots]))
 
-        picket_widths = {}
-        for rank, p in enumerate(picket_slots):
-            w = widths_mm[valid[:, p], p]
-            picket_widths[f"picket_{rank}"] = {
-                "max": float(w.max()), "mean": float(w.mean()),
-                "median": float(np.median(w)), "min": float(w.min())}
+        # vectorized per-picket width stats (the per-slot python loop cost
+        # ~40 tiny reductions per image — ~4 ms/image across a 64-batch)
+        w_masked = np.where(valid, widths_mm, np.nan)[:, picket_slots]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slots
+            w_max = np.nanmax(w_masked, axis=0)
+            w_mean = np.nanmean(w_masked, axis=0)
+            w_med = np.nanmedian(w_masked, axis=0)
+            w_min = np.nanmin(w_masked, axis=0)
+        picket_widths = {
+            f"picket_{rank}": {"max": float(w_max[rank]), "mean": float(w_mean[rank]),
+                               "median": float(w_med[rank]), "min": float(w_min[rank])}
+            for rank in range(len(picket_slots))}
 
         cax_physical = (self.images[i].shape[1 if self._orientations[i] == Orientation.UP_DOWN else 0] / 2 - 0.5) / self._dpmm
+        # vectorized leaf dictionaries: one fancy-indexed pass replaces the
+        # per-leaf/per-picket float() comprehensions (~100k genexpr steps
+        # per 64-image results_data)
+        pos_mm = cax_physical - pos_px[:, picket_slots, :] / self._dpmm  # (L,P,S)
+        err_sel = errors[:, picket_slots, :]
+        vsel = valid[:, picket_slots]                                    # (L,P)
+        leaf_any = vsel.any(axis=1)
+        fail_ls = ((np.abs(err_sel) >= self.tolerance)
+                   & vsel[:, :, None]).any(axis=1)                       # (L,S)
         positions_by_leaf: dict[str, list[float]] = {}
         errors_by_leaf: dict[str, list[float]] = {}
         failed: list = []
-        for li, leaf in enumerate(self._leaf_nums):
-            if not valid[li].any():
-                continue
+        for li in np.nonzero(leaf_any)[0]:
+            leaf = self._leaf_nums[li]
             names = ([f"{LEFT_MLC_PREFIX}{leaf}", f"{RIGHT_MLC_PREFIX}{leaf}"]
                      if self.separate_leaves else [int(leaf)])
+            sel = vsel[li]
             for s, name in enumerate(names):
-                positions_by_leaf[str(name)] = [
-                    cax_physical - pos_px[li, p, s] / self._dpmm
-                    for p in picket_slots if valid[li, p]]
-                errors_by_leaf[str(name)] = [
-                    float(errors[li, p, s]) for p in picket_slots if valid[li, p]]
-                if any(abs(errors[li, p, s]) >= self.tolerance
-                       for p in picket_slots if valid[li, p]):
+                positions_by_leaf[str(name)] = pos_mm[li, sel, s].tolist()
+                errors_by_leaf[str(name)] = err_sel[li, sel, s].astype(
+                    np.float64).tolist()
+                if fail_ls[li, s]:
                     failed.append(name)
 
         return PFResult(
