@@ -453,12 +453,12 @@ def _stack_mask_pack(raw_vol, ds: int, clip: bool):
 def _stack_regions_native(vol_dev, ds: int, clip: bool, clear_borders: bool):
     """Run the stack localization through the native backend. Returns
     ((N, K) host Regions, max_edges (N,))."""
-    from .ops.pack import _fetch_pool
+    from .ops.pack import fetch_all
     n, h, w = vol_dev.shape
     hp, wp = h // ds, w // ds
     ww = label_native.packed_width(wp)
     parts = _stack_mask_pack(vol_dev, ds, clip)
-    host = list(_fetch_pool().map(np.asarray, parts))
+    host = fetch_all(list(parts))
     bits = np.concatenate(host[:-1]).reshape(n, hp, ww)
     max_edges = host[-1].astype(np.float32)
     host, _n = label_native.regions_from_packed(bits, wp, None,

@@ -57,16 +57,32 @@ def pack_tree(tree) -> tuple[jnp.ndarray, ...]:
                  for off in range(0, n, PACK_CHUNK_ELEMS))
 
 
+def _pool_safe() -> bool:
+    """Parallel fetch only pays on the tunneled device; on the in-process
+    CPU backend it saves nothing AND concurrent transfers of shard_map
+    outputs on the forced-host multi-device platform abort in XLA:CPU
+    (SIGABRT seen in tests/parallel under the 8-virtual-device mesh)."""
+    return jax.default_backend() != "cpu"
+
+
+def fetch_all(parts: list) -> list:
+    """np.asarray over a list of device arrays — threaded on the tunneled
+    backend, serial on CPU (see :func:`_pool_safe`)."""
+    if len(parts) > 1 and _pool_safe():
+        return list(_fetch_pool().map(np.asarray, parts))
+    return [np.asarray(p) for p in parts]
+
+
 def fetch_concat(parts) -> np.ndarray:
-    """Drain packed chunks device→host on parallel threads, return the
-    concatenated host vector. Accepts a single array or a tuple/list."""
+    """Drain packed chunks device→host (parallel threads on the tunneled
+    backend), return the concatenated host vector. Accepts a single array
+    or a tuple/list."""
     if isinstance(parts, (jnp.ndarray, jax.Array, np.ndarray)):
         return np.asarray(parts)
     parts = list(parts)
     if len(parts) == 1:
         return np.asarray(parts[0])
-    host = list(_fetch_pool().map(np.asarray, parts))
-    return np.concatenate(host)
+    return np.concatenate(fetch_all(parts))
 
 
 _SPEC_CACHE: dict = {}

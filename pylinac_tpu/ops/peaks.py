@@ -316,6 +316,12 @@ def find_peaks(
     (peak_indices, props_dict) as numpy with ratio/int argument coercion."""
     values = np.asarray(values, dtype=np.float32)
     n = len(values)
+    if max_number is not None:
+        # small-K fast path: the packed kernel's slot work scales with K;
+        # callers wanting a handful of peaks (the CTP528 MTF windows ask
+        # for <=5) start small — the adaptive escalation below still
+        # recovers exactly if the raw maxima overflow the slots
+        K = min(K, max(16, 4 * int(max_number)))
     val_range = float(values.max() - values.min())
     if 0 <= threshold <= 1:
         threshold = float(values.min()) + threshold * val_range

@@ -63,7 +63,11 @@ def stage(arr: np.ndarray, device=None) -> jax.Array:
     views = [flat[off:off + chunk_elems]
              for off in range(0, flat.size, chunk_elems)]
     put = functools.partial(jax.device_put, device=device)
-    if STAGE_THREADS > 1 and len(views) > 1:
+    # threads only pay on the tunneled device; on the in-process CPU
+    # backend concurrent transfers can abort in XLA:CPU (see
+    # ops.pack._pool_safe)
+    if (STAGE_THREADS > 1 and len(views) > 1
+            and jax.default_backend() != "cpu"):
         parts = list(_stage_pool().map(put, views))
     else:
         parts = [put(v) for v in views]
