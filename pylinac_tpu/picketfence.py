@@ -1232,8 +1232,15 @@ class PicketFenceBatch:
             warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slots
             w_max = np.nanmax(w_masked, axis=0)
             w_mean = np.nanmean(w_masked, axis=0)
-            w_med = np.nanmedian(w_masked, axis=0)
             w_min = np.nanmin(w_masked, axis=0)
+        # np.nanmedian's masked-array path costs ~1 ms/image at this size;
+        # np.sort pushes NaNs last, so the exact np.median of the valid
+        # entries is the mean of the two middle order statistics
+        w_sorted = np.sort(w_masked, axis=0)
+        cnt = valid[:, picket_slots].sum(axis=0)
+        safe = np.maximum(cnt, 1)
+        cols = np.arange(w_sorted.shape[1])
+        w_med = (w_sorted[(safe - 1) // 2, cols] + w_sorted[safe // 2, cols]) / 2
         picket_widths = {
             f"picket_{rank}": {"max": float(w_max[rank]), "mean": float(w_mean[rank]),
                                "median": float(w_med[rank]), "min": float(w_min[rank])}
