@@ -2215,6 +2215,7 @@ class CatPhanBatch:
                 ct.analyze(**kwargs)
             with profiling.stage("batch_finalize_geometry"):
                 self._finalize_geometry_batch()
+            self._mtf_prepass()
         finally:
             for ct in self.cts:
                 ct._defer_geometry = False
@@ -2257,6 +2258,57 @@ class CatPhanBatch:
             return  # K overflow: per-scan escalation path
         for ct, (slice_num, _), v in zip(self.cts, slcs, views):
             ct._pre_roll_regions = (slice_num, v)
+
+    def _mtf_prepass(self) -> None:
+        """Seed each scan's CTP528 ``mtf`` with the PEAK half of every
+        line-pair setting batched across scans: the 8 settings use identical
+        trim windows and ratio arguments for every scan of a same-geometry
+        batch, so one row-batched dispatch per setting replaces one
+        dispatch per setting per scan (results identical to the sequential
+        ``_compute_mtf`` — :func:`pylinac_tpu.ops.peaks.find_peaks_rows`
+        resolves ratio thresholds per row exactly like per-scan calls).
+        Valleys stay per scan (their search window depends on that scan's
+        found peak indices). ``circle_profile.peaks`` plot state is not
+        seeded (plot_rois draws with ``plot_peaks=False``)."""
+        from .ops.peaks import find_peaks_rows
+
+        mods = [ct.ctp528 for ct in self.cts
+                if getattr(ct, "ctp528", None) is not None
+                and "mtf" not in ct.ctp528.__dict__]
+        if len(mods) < 2:
+            return
+        profs = [np.asarray(m.circle_profile.values, np.float32)
+                 for m in mods]
+        if len({p.shape for p in profs}) != 1:
+            return
+        stacked = np.stack(profs)
+        settings = list(mods[0].roi_settings.items())
+        with profiling.stage("ctp528.mtf_batch"):
+            peaks_by_setting = [
+                find_peaks_rows(stacked, threshold=0.3,
+                                peak_separation=value["peak spacing"],
+                                max_number=value["num peaks"],
+                                search_region=(value["start"], value["end"]))
+                for _, value in settings]
+        for si, m in enumerate(mods):
+            maxs, mins = [], []
+            for (_, value), rows_out in zip(settings, peaks_by_setting):
+                max_indices, props = rows_out[si]
+                max_values = props["peak_heights"]
+                if len(max_values) != value["num peaks"]:
+                    break
+                maxs.append(np.asarray(max_values).mean())
+                _, min_values = m.circle_profile.find_valleys(
+                    min_distance=value["peak spacing"],
+                    max_number=value["num valleys"],
+                    search_region=(int(min(max_indices)),
+                                   int(max(max_indices))))
+                mins.append(min_values.mean())
+            if not maxs:
+                continue  # the lazy per-scan path raises its own error
+            spacings = [roi["lp/mm"] for roi in m.roi_settings.values()]
+            m.__dict__["mtf"] = MTF(lp_spacings=spacings[:len(maxs)],
+                                    lp_maximums=maxs, lp_minimums=mins)
 
     def _finalize_geometry_batch(self) -> None:
         """Run the deferred CTP404 geometry-node detections (reference

@@ -286,6 +286,18 @@ def _unpack_peaks(packed: np.ndarray, K: int) -> PeakResult:
 
 
 @functools.partial(jax.jit, static_argnames=("K", "max_number", "sort_key"))
+def _find_peaks_packed_rows(rows, heights, K, rel_height, distance,
+                            min_width, required_prominence, max_number,
+                            sort_key):
+    """Row-batched form of :func:`_find_peaks_packed`: (B, N) signals with
+    per-row height thresholds → (B, packed) in one dispatch."""
+    return jax.vmap(
+        lambda v, h: _find_peaks_packed.__wrapped__(
+            v, K, rel_height, h, distance, min_width,
+            required_prominence, max_number, sort_key))(rows, heights)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "max_number", "sort_key"))
 def _find_peaks_packed(v, K, rel_height, height, distance, min_width,
                        required_prominence, max_number, sort_key):
     """Full find-peaks query (analysis + top-N select + pack) as ONE jitted
@@ -366,6 +378,73 @@ def find_peaks(
     }
     peak_idxs = res.positions[mask].astype(np.int64) + lo
     return peak_idxs, props
+
+
+def find_peaks_rows(
+    rows: np.ndarray,
+    threshold: float = -np.inf,
+    peak_separation: float = 0,
+    max_number: int | None = None,
+    fwxm_height: float = 0.5,
+    min_width: int = 0,
+    search_region: tuple[float, float] = (0.0, 1.0),
+    peak_sort: str = "prominences",
+    required_prominence: float | None = None,
+    K: int = 64,
+) -> list[tuple[np.ndarray, dict]]:
+    """Row-batched :func:`find_peaks`: one device dispatch + one fetch for a
+    (B, N) stack of profiles sharing every argument (ratio thresholds
+    resolve per row, exactly like B sequential calls). Returns the per-row
+    (peak_indices, props) pairs in order — identical to looping
+    :func:`find_peaks` over the rows."""
+    rows = np.asarray(rows, dtype=np.float32)
+    b, n = rows.shape
+    if max_number is not None:
+        K = min(K, max(16, 4 * int(max_number)))
+    rmin = rows.min(axis=1)
+    rmax = rows.max(axis=1)
+    if 0 <= threshold <= 1:
+        heights = rmin + threshold * (rmax - rmin)
+    else:
+        heights = np.full(b, threshold, np.float32)
+    if 0 <= peak_separation <= 1:
+        peak_separation = max(int(peak_separation * n), 1)
+    if max(search_region) <= 1:
+        lo = int(search_region[0] * n)
+        hi = int(search_region[1] * n)
+    else:
+        lo, hi = int(search_region[0]), int(search_region[1])
+    trimmed = rows[:, lo:hi]
+    from . import route
+
+    trimmed_dev = route.put(trimmed)
+    heights_dev = route.put(heights.astype(np.float32),
+                            small=trimmed.size <= route.SMALL_ELEMS)
+    while True:
+        packed = np.asarray(_find_peaks_packed_rows(
+            trimmed_dev, heights_dev, K=K, rel_height=1 - fwxm_height,
+            distance=float(peak_separation), min_width=float(min_width),
+            required_prominence=required_prominence,
+            max_number=max_number, sort_key=peak_sort))
+        if not bool(packed[:, -1].any()) or K >= trimmed.shape[1]:
+            break
+        K = min(K * 4, max(trimmed.shape[1], 1))
+    out = []
+    for r in range(b):
+        res = _unpack_peaks(packed[r], K)
+        mask = res.valid.astype(bool)
+        props = {
+            "prominences": res.prominences[mask].astype(float),
+            "left_bases": res.left_bases[mask] + lo,
+            "right_bases": res.right_bases[mask] + lo,
+            "widths": res.widths[mask].astype(float),
+            "width_heights": res.width_heights[mask].astype(float),
+            "left_ips": res.left_ips[mask].astype(float) + lo,
+            "right_ips": res.right_ips[mask].astype(float) + lo,
+            "peak_heights": res.values[mask].astype(float),
+        }
+        out.append((res.positions[mask].astype(np.int64) + lo, props))
+    return out
 
 
 def find_valleys(values: np.ndarray, **kwargs) -> tuple[np.ndarray, dict]:

@@ -130,3 +130,25 @@ def test_catphan_batch_matches_single(catphan_dir, tmp_path_factory):
         assert bd.ctp404.hu_rois[name].value == pytest.approx(roi.value, abs=1e-6)
     assert batch.cts[0].origin_slice == single.origin_slice
     assert batch.cts[0].catphan_roll == pytest.approx(single.catphan_roll, abs=1e-6)
+
+
+def test_batch_mtf_prepass_matches_sequential(catphan_dir, tmp_path_factory):
+    """CatPhanBatch seeds CTP528 MTF via the row-batched peaks pre-pass;
+    values must equal the lazy per-scan path exactly."""
+    import numpy as np
+
+    from pylinac_tpu.ct import CatPhanBatch
+
+    tmp2 = tmp_path_factory.mktemp("catphan_mtf2")
+    generate_catphan504(tmp2, num_slices=60, slice_thickness_mm=2.5)
+    batch = CatPhanBatch([catphan_dir, str(tmp2)])
+    batch.analyze()
+    for ct in batch.cts:
+        m = ct.ctp528
+        assert "mtf" in m.__dict__  # pre-pass ran
+        seeded_max = list(m.mtf.maximums)
+        seeded_min = list(m.mtf.minimums)
+        del m.__dict__["mtf"]
+        lazy = m.mtf  # sequential recompute
+        np.testing.assert_array_equal(seeded_max, list(lazy.maximums))
+        np.testing.assert_array_equal(seeded_min, list(lazy.minimums))
