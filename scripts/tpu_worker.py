@@ -60,6 +60,12 @@ while True:
         with open(path) as f:
             code = f.read()
         exec(compile(code, path, "exec"), GLOBALS)
+    except SystemExit:
+        # a job may request shutdown (releases the single-client tunnel)
+        sys.stdout, sys.stderr = old_out, old_err
+        print("[worker] job requested shutdown; releasing the device",
+              flush=True)
+        raise
     except BaseException:
         traceback.print_exc()
     finally:
